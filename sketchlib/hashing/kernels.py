@@ -1,0 +1,224 @@
+"""Vectorized numpy hash kernels — the engine's "SIMD".
+
+Each kernel is the column-at-a-time re-expression of the reference's
+batch hash processors (SURVEY.md §2.1 #16-22): where the reference
+chunks a batch across goroutines and (mostly disabled) SIMD assembly,
+we hash the whole Arrow batch as numpy vector ops. Rows are processed
+in length-sorted order so the per-byte/per-word "active rows" set is a
+prefix slice, not a mask.
+
+Contract (tested differentially in tests/test_hash_batch_vs_scalar.py):
+``indices_batch(items, n, strategy, bits)`` returns exactly the same
+(i1, i2, fp) triples, in input order, as the scalar references in
+``sketchlib.hashing.scalar`` — the reference repo's own batch==scalar
+gate (e.g. /root/reference/internal/hash/xxhash/batch_test.go:14-203).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from . import scalar
+from .bytesview import as_binary_array, padded_matrix, to_offsets
+
+U64 = np.uint64
+_MASKING = {"over": "ignore"}
+
+_FNV_OFFSET = U64(scalar.FNV_OFFSET64)
+_FNV_PRIME = U64(scalar.FNV_PRIME64)
+_P1, _P2, _P3, _P4, _P5 = (U64(p) for p in (scalar.P1, scalar.P2, scalar.P3, scalar.P4, scalar.P5))
+
+_CRC_TABLE = np.array(scalar._CRC32C_TABLE, dtype=np.uint32)
+
+
+def _rotl(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << U64(r)) | (x >> U64(64 - r))
+
+
+def _active_counts(sorted_lens: np.ndarray, width: int) -> np.ndarray:
+    """counts[j] = number of rows (len-descending order) with len > j."""
+    n = len(sorted_lens)
+    asc = np.sort(sorted_lens)
+    return n - np.searchsorted(asc, np.arange(width), side="right")
+
+
+# ---------------------------------------------------------------- FNV-1a
+
+
+def _fnv1a64_chunk(mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    n, width = mat.shape
+    h = np.full(n, _FNV_OFFSET, U64)
+    counts = _active_counts(lens, width)
+    with np.errstate(**_MASKING):
+        for j in range(width):
+            a = counts[j]
+            if a == 0:
+                break
+            h[:a] = (h[:a] ^ mat[:a, j].astype(U64)) * _FNV_PRIME
+    return h
+
+
+# ---------------------------------------------------------------- CRC32C
+
+
+def _crc32c_chunk(mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    n, width = mat.shape
+    crc = np.full(n, 0xFFFFFFFF, np.uint32)
+    counts = _active_counts(lens, width)
+    for j in range(width):
+        a = counts[j]
+        if a == 0:
+            break
+        idx = (crc[:a] ^ mat[:a, j]) & np.uint32(0xFF)
+        crc[:a] = _CRC_TABLE[idx] ^ (crc[:a] >> np.uint32(8))
+    return (crc ^ np.uint32(0xFFFFFFFF)).astype(U64)
+
+
+# ---------------------------------------------------------------- xx variant
+
+
+def _xxvariant64_chunk(mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Vectorized form of the simplified-XXH64 variant (xxhash_safe.go:4-37).
+
+    8-byte LE words get the (P2, rot31, P1) mix + (rot27·P1+P4) fold;
+    tail bytes get the (P5, rot11, P1) mix; then the standard avalanche.
+    """
+    n, width = mat.shape
+    words = mat.view("<u8").reshape(n, width // 8)
+    nwords = (lens // 8).astype(np.int64)
+    h = _P5 + lens.astype(U64)
+    word_counts = n - np.searchsorted(np.sort(nwords), np.arange(words.shape[1]), side="right")
+    with np.errstate(**_MASKING):
+        for w in range(words.shape[1]):
+            a = word_counts[w]
+            if a == 0:
+                break
+            k = words[:a, w] * _P2
+            k = _rotl(k, 31) * _P1
+            h[:a] ^= k
+            h[:a] = _rotl(h[:a], 27) * _P1 + _P4
+        tail_len = lens - nwords * 8
+        max_tail = int(tail_len.max()) if n else 0
+        for t in range(max_tail):
+            sel = np.nonzero(tail_len > t)[0]
+            if sel.size == 0:
+                break
+            byte = mat[sel, nwords[sel] * 8 + t].astype(U64)
+            h[sel] ^= byte * _P5
+            h[sel] = _rotl(h[sel], 11) * _P1
+        h ^= h >> U64(33)
+        h *= _P2
+        h ^= h >> U64(29)
+        h *= _P3
+        h ^= h >> U64(32)
+    return h
+
+
+_CHUNK_KERNELS = {
+    "fnv": (_fnv1a64_chunk, 1),
+    "crc32c": (_crc32c_chunk, 1),
+    "xx": (_xxvariant64_chunk, 8),
+}
+
+
+def hash64_batch(values, strategy: str, max_cells: int = 1 << 26) -> np.ndarray:
+    """Hash a column of str/bytes → uint64 vector, in input order.
+
+    Rows are length-sorted with an Arrow-side ``take`` (one C++ copy) so
+    each chunk's bytes are a contiguous data-buffer slice — no Python
+    gathers — and the per-byte/per-word active-row set inside a kernel
+    is a prefix slice of the chunk matrix.
+    """
+    kernel, pad = _CHUNK_KERNELS[strategy]
+    arr = as_binary_array(values)
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, U64)
+    lens0 = np.diff(
+        np.frombuffer(arr.buffers()[1], np.int64)[arr.offset : arr.offset + n + 1]
+    )
+    order = np.argsort(-lens0, kind="stable")
+    sorted_arr = arr.take(pa.array(order))
+    lens, data = to_offsets(sorted_arr)
+    starts = np.concatenate(([0], np.cumsum(lens)))
+    out = np.empty(n, U64)
+    pos = 0
+    while pos < n:
+        width = max(int(lens[pos]), 1)
+        rows = min(max(int(max_cells // width), 1), n - pos)
+        chunk_lens = lens[pos : pos + rows]
+        flat = data[starts[pos] : starts[pos + rows]]
+        mat, _ = padded_matrix(chunk_lens, flat, pad_to=pad)
+        out[order[pos : pos + rows]] = kernel(mat, chunk_lens)
+        pos += rows
+    return out
+
+
+# ---------------------------------------------------------------- derivations
+
+
+def fingerprint_batch(h: np.ndarray, bits: int, strategy: str = "fnv") -> np.ndarray:
+    """Fingerprint from the high hash bits, 0→1, as uint16.
+
+    See scalar.fp_source for why the source bits are the TOP of the
+    hash (deliberate divergence from the reference, restoring the
+    Fan-et-al. FPR bound the north rule gates on).
+    """
+    src = h >> U64(16 if strategy == "crc32c" else 48)
+    fp = (src & U64((1 << bits) - 1)).astype(np.uint16)
+    fp[fp == 0] = 1
+    return fp
+
+
+def _fp_lo_hi(fp: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    f = fp.astype(U64)
+    return f & U64(0xFF), f >> U64(8)
+
+
+def alt_index_batch(
+    index: np.ndarray, fp: np.ndarray, num_buckets: int, strategy: str, bits: int
+) -> np.ndarray:
+    """Vectorized self-inverse alternate index (SURVEY.md §2.1 #15)."""
+    assert num_buckets & (num_buckets - 1) == 0, "num_buckets must be a power of 2"
+    nmask = U64(num_buckets - 1)
+    idx = index.astype(U64)
+    with np.errstate(**_MASKING):
+        if strategy == "xx":
+            h = fp.astype(U64) * U64(0x5BD1E995)
+            if num_buckets > 1:
+                h |= U64(1)
+            return (idx ^ h) & nmask
+        lo, hi = _fp_lo_hi(fp)
+        if strategy == "fnv":
+            h = (_FNV_OFFSET ^ lo) * _FNV_PRIME
+            if bits > 8:
+                h = (h ^ hi) * _FNV_PRIME
+            return (idx ^ h) & nmask
+        if strategy == "crc32c":
+            crc = np.full(len(fp), 0xFFFFFFFF, np.uint32)
+            crc = _CRC_TABLE[(crc ^ lo.astype(np.uint32)) & np.uint32(0xFF)] ^ (
+                crc >> np.uint32(8)
+            )
+            if bits > 8:
+                crc = _CRC_TABLE[(crc ^ hi.astype(np.uint32)) & np.uint32(0xFF)] ^ (
+                    crc >> np.uint32(8)
+                )
+            crc ^= np.uint32(0xFFFFFFFF)
+            return (idx ^ crc.astype(U64)) & nmask
+    raise ValueError(strategy)
+
+
+def indices_batch(
+    values, num_buckets: int, strategy: str, bits: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(i1, i2, fp) vectors for a column — the batch GetIndices.
+
+    Identical, element for element, to the scalar path
+    (scalar.get_indices) — the reference's batch==scalar contract.
+    """
+    h = hash64_batch(values, strategy)
+    fp = fingerprint_batch(h, bits, strategy)
+    i1 = h & U64(num_buckets - 1)
+    i2 = alt_index_batch(i1, fp, num_buckets, strategy, bits)
+    return i1, i2, fp

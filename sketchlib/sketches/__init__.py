@@ -1,0 +1,31 @@
+"""Mergeable sketches (north-rule additions, SURVEY.md §2.3).
+
+Each sketch is a monoid: ``update(batch)`` folds an Arrow-sized numpy
+batch into fixed-size state, ``merge(other)`` is associative and
+commutative (property-tested), ``to_bytes``/``from_bytes`` round-trip
+through BinaryType columns. The cuckoo filter (sketchlib.cuckoo) shares
+the same contract.
+"""
+
+from .bloom import BloomFilter
+from .cms import CountMinSketch
+from .hll import HyperLogLog
+from .kll import KLLSketch
+from .tdigest import TDigest
+
+SKETCH_KINDS = {
+    "bloom": BloomFilter,
+    "cms": CountMinSketch,
+    "hll": HyperLogLog,
+    "kll": KLLSketch,
+    "tdigest": TDigest,
+}
+
+__all__ = [
+    "BloomFilter",
+    "CountMinSketch",
+    "HyperLogLog",
+    "KLLSketch",
+    "TDigest",
+    "SKETCH_KINDS",
+]

@@ -1,0 +1,87 @@
+"""Count-min sketch — frequency estimates, err ≤ e/w·N w.p. ≥ 1-e^{-d}.
+
+Cormode & Muthukrishnan 2005. One-sided error: estimates never
+undercount (tests assert est ≥ true for every key). Row hashes come
+from double hashing of one 64-bit kernel hash; updates are per-row
+``np.add.at`` scatter-adds; merge is elementwise addition.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .base import MergeableSketch, hash_column, load_arrays, save_arrays, split_hash
+
+U64 = np.uint64
+
+
+class CountMinSketch(MergeableSketch):
+    def __init__(
+        self,
+        width: int | None = None,
+        depth: int | None = None,
+        epsilon: float = 1e-4,
+        delta: float = 1e-3,
+        hash_strategy: str = "xx",
+    ):
+        self.width = width or max(8, math.ceil(math.e / epsilon))
+        self.depth = depth or max(1, math.ceil(math.log(1.0 / delta)))
+        self.hash_strategy = hash_strategy
+        self.counts = np.zeros((self.depth, self.width), np.int64)
+        self.total = 0
+
+    def _rows_cols(self, values) -> np.ndarray:
+        h = hash_column(values, self.hash_strategy)
+        lo, hi = split_hash(h)
+        js = np.arange(self.depth, dtype=U64)[:, None]
+        with np.errstate(over="ignore"):
+            # row j uses h_j(x) = lo + (j+1)*hi  (j+1 so row 0 isn't just lo
+            # when hi == 0), a standard 2-universal-ish family
+            return ((lo[None, :] + (js + U64(1)) * hi[None, :]) % U64(self.width)).astype(np.int64)
+
+    def update(self, values, weights=None) -> None:
+        cols = self._rows_cols(values)
+        w = np.asarray(weights, np.int64) if weights is not None else None
+        for j in range(self.depth):
+            np.add.at(self.counts[j], cols[j], 1 if w is None else w)
+        self.total += int(cols.shape[1]) if w is None else int(w.sum())
+
+    def estimate(self, values) -> np.ndarray:
+        cols = self._rows_cols(values)
+        per_row = self.counts[np.arange(self.depth)[:, None], cols]
+        return per_row.min(axis=0)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        if (self.width, self.depth, self.hash_strategy) != (
+            other.width,
+            other.depth,
+            other.hash_strategy,
+        ):
+            raise ValueError("cms geometry mismatch")
+        self.counts += other.counts
+        self.total += other.total
+        return self
+
+    def error_bound(self) -> float:
+        """Additive bound e/w · N holding w.p. ≥ 1 - e^{-d}."""
+        return math.e / self.width * self.total
+
+    def to_bytes(self) -> bytes:
+        meta = {
+            "kind": "cms",
+            "width": self.width,
+            "depth": self.depth,
+            "hash_strategy": self.hash_strategy,
+            "total": self.total,
+        }
+        return save_arrays(meta, counts=self.counts)
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "CountMinSketch":
+        meta, arrays = load_arrays(blob)
+        s = cls(width=meta["width"], depth=meta["depth"], hash_strategy=meta["hash_strategy"])
+        s.counts = arrays["counts"].copy()
+        s.total = meta["total"]
+        return s

@@ -1,0 +1,133 @@
+"""KLL quantile sketch — rank error ~ O(1/k)·N w.h.p.
+
+Karnin, Lang & Liberty 2016 (and KLL± VLDB 2021, PAPERS.md) compactor
+hierarchy: level h holds items of weight 2^h; a full level is sorted
+and every other item (random parity, seeded) promotes to level h+1.
+Batch updates append whole numpy arrays; compaction is sort + stride
+slicing, so no per-item Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .base import MergeableSketch, load_arrays, save_arrays
+
+_C = 2.0 / 3.0
+
+
+class KLLSketch(MergeableSketch):
+    def __init__(self, k: int = 200, seed: int = 42):
+        if k < 8:
+            raise ValueError("k must be >= 8")
+        self.k = k
+        self.seed = seed
+        self._rng = np.random.Generator(np.random.PCG64(seed))
+        self.compactors: list[np.ndarray] = [np.empty(0, np.float64)]
+        self.n = 0
+
+    # ------------------------------------------------------------ internals
+
+    def _capacity(self, h: int) -> int:
+        height = len(self.compactors)
+        return max(int(np.ceil(self.k * _C ** (height - h - 1))), 2)
+
+    def _size(self) -> int:
+        return sum(len(c) for c in self.compactors)
+
+    def _max_size(self) -> int:
+        return sum(self._capacity(h) for h in range(len(self.compactors)))
+
+    def _compress(self) -> None:
+        while self._size() > self._max_size():
+            for h in range(len(self.compactors)):
+                if len(self.compactors[h]) > self._capacity(h):
+                    if h + 1 == len(self.compactors):
+                        self.compactors.append(np.empty(0, np.float64))
+                    buf = np.sort(self.compactors[h])
+                    offset = int(self._rng.integers(0, 2))
+                    promoted = buf[offset::2]
+                    self.compactors[h + 1] = np.concatenate(
+                        (self.compactors[h + 1], promoted)
+                    )
+                    self.compactors[h] = np.empty(0, np.float64)
+                    break
+            else:  # no level exceeded capacity; growth changed capacities
+                break
+
+    # ------------------------------------------------------------ public
+
+    def update(self, values) -> None:
+        arr = np.asarray(values, np.float64)
+        arr = arr[~np.isnan(arr)]
+        if arr.size == 0:
+            return
+        self.compactors[0] = np.concatenate((self.compactors[0], arr))
+        self.n += arr.size
+        self._compress()
+
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        if self.k != other.k:
+            raise ValueError("kll k mismatch")
+        while len(self.compactors) < len(other.compactors):
+            self.compactors.append(np.empty(0, np.float64))
+        for h, c in enumerate(other.compactors):
+            if len(c):
+                self.compactors[h] = np.concatenate((self.compactors[h], c))
+        self.n += other.n
+        self._compress()
+        return self
+
+    def _weighted_items(self) -> tuple[np.ndarray, np.ndarray]:
+        vals, weights = [], []
+        for h, c in enumerate(self.compactors):
+            if len(c):
+                vals.append(c)
+                weights.append(np.full(len(c), 1 << h, np.int64))
+        if not vals:
+            return np.empty(0), np.empty(0, np.int64)
+        v = np.concatenate(vals)
+        w = np.concatenate(weights)
+        order = np.argsort(v, kind="stable")
+        return v[order], w[order]
+
+    def quantile(self, q) -> np.ndarray:
+        """Approximate quantile(s) for q in [0,1]."""
+        qs = np.atleast_1d(np.asarray(q, np.float64))
+        v, w = self._weighted_items()
+        if v.size == 0:
+            return np.full(qs.shape, np.nan)
+        cum = np.cumsum(w) - w / 2.0
+        targets = qs * w.sum()
+        idx = np.searchsorted(cum, targets)
+        idx = np.clip(idx, 0, len(v) - 1)
+        out = v[idx]
+        return out if np.ndim(q) else out  # vector in, vector out
+
+    def rank(self, x) -> np.ndarray:
+        """Approximate rank (#items ≤ x)."""
+        xs = np.atleast_1d(np.asarray(x, np.float64))
+        v, w = self._weighted_items()
+        if v.size == 0:
+            return np.zeros(xs.shape)
+        cum = np.concatenate(([0], np.cumsum(w)))
+        return cum[np.searchsorted(v, xs, side="right")]
+
+    def to_bytes(self) -> bytes:
+        meta = {
+            "kind": "kll",
+            "k": self.k,
+            "seed": self.seed,
+            "n": self.n,
+            "heights": len(self.compactors),
+        }
+        arrays = {f"c{h}": c for h, c in enumerate(self.compactors)}
+        return save_arrays(meta, **arrays)
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "KLLSketch":
+        meta, arrays = load_arrays(blob)
+        s = cls(k=meta["k"], seed=meta["seed"])
+        s.compactors = [arrays[f"c{h}"].copy() for h in range(meta["heights"])]
+        s.n = meta["n"]
+        return s

@@ -89,6 +89,11 @@ class CuckooFilter:
         i1, i2, fp = self._indices(items)
         return self._place(i1, i2, fp)
 
+    def update(self, items) -> None:
+        """MergeableSketch-protocol alias so the Spark build layer can
+        fold Arrow batches into any sketch kind uniformly."""
+        self.insert_batch(items)
+
     def _try_bucket(
         self, target: np.ndarray, fp: np.ndarray, todo: np.ndarray
     ) -> np.ndarray:

@@ -1,0 +1,136 @@
+"""Distributed sketch build: per-partition fold + metrics, zero shuffle.
+
+The Spark-first shape (SURVEY.md §3.4): ``df.mapInArrow`` folds each
+input partition's Arrow batches into ONE sketch via the vectorized
+numpy kernels, emitting a single metrics row per partition — no
+groupBy, no shuffle, no per-row Python. The merge tree
+(sketchlib.spark.merge) then combines the per-partition states.
+
+Scale notes (100 TB / 10^12 docs):
+* HLL/CMS/KLL/t-digest/Bloom states are KBs–MBs regardless of input
+  size, so per-partition build + tree merge is the whole story.
+* A *merged* cuckoo filter must carry global geometry in every
+  partition (2 bytes/slot), so the merged strategy is for capacities
+  up to ~10^8-10^9; beyond that use ``sharded`` builds
+  (sketchlib.spark.shard): repartition by key-hash, one
+  capacity/num_shards filter per shard, probes routed by the same
+  partitioner — no cross-shard merge needed, memory per task constant.
+* Checkpoint/resume is per-partition (north-rule lineage): each task
+  writes its finished sketch row to ``checkpoint_dir/part-{pid}``;
+  a resumed run re-emits stored rows instead of recomputing.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Iterator
+
+import pyarrow as pa
+
+from ..serde import loads
+
+SKETCH_ROW_SCHEMA = (
+    "part_id int, n_rows long, item_count long, fail_count long, "
+    "load_factor double, state binary"
+)
+
+_SKETCH_PA_SCHEMA = pa.schema(
+    [
+        ("part_id", pa.int32()),
+        ("n_rows", pa.int64()),
+        ("item_count", pa.int64()),
+        ("fail_count", pa.int64()),
+        ("load_factor", pa.float64()),
+        ("state", pa.binary()),
+    ]
+)
+
+
+def sketch_metrics(sk) -> tuple[int, int, float]:
+    """(item_count, fail_count, load_factor) for any sketch kind."""
+    item_count = getattr(sk, "num_items", None)
+    if item_count is None:
+        item_count = getattr(sk, "n", None)
+    if item_count is None:
+        item_count = int(getattr(sk, "total", 0) or getattr(sk, "total_weight", 0))
+    fail = int(getattr(sk, "insert_failures", 0))
+    load = float(sk.load_factor()) if hasattr(sk, "load_factor") else 0.0
+    return int(item_count), fail, load
+
+
+def _row_batch(pid: int, n_rows: int, sk) -> pa.RecordBatch:
+    items, fails, load = sketch_metrics(sk)
+    return pa.RecordBatch.from_pydict(
+        {
+            "part_id": [pid],
+            "n_rows": [n_rows],
+            "item_count": [items],
+            "fail_count": [fails],
+            "load_factor": [load],
+            "state": [sk.to_bytes()],
+        },
+        schema=_SKETCH_PA_SCHEMA,
+    )
+
+
+def build_sketches(
+    df,
+    key_col: str,
+    factory: Callable[[], object],
+    checkpoint_dir: str | None = None,
+    numeric: bool = False,
+):
+    """``df`` → one sketch row per partition (SKETCH_ROW_SCHEMA).
+
+    ``factory`` runs once per task on the executor and must be a
+    picklable zero-arg callable returning a fresh sketch. ``numeric``
+    converts the key column to float64 (KLL/t-digest inputs).
+    """
+
+    def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        if checkpoint_dir:
+            done = os.path.join(checkpoint_dir, f"part-{pid:05d}.arrow")
+            if os.path.exists(done):
+                with pa.memory_map(done) as src:
+                    table = pa.ipc.open_file(src).read_all()
+                for rb in table.to_batches():
+                    yield rb
+                return
+        sk = factory()
+        n = 0
+        for rb in batches:
+            col = rb.column(0)
+            if numeric:
+                sk.update(col.to_numpy(zero_copy_only=False))
+            else:
+                sk.update(col)
+            n += rb.num_rows
+        out = _row_batch(pid, n, sk)
+        if checkpoint_dir:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            tmp = os.path.join(checkpoint_dir, f".part-{pid:05d}.tmp")
+            done = os.path.join(checkpoint_dir, f"part-{pid:05d}.arrow")
+            with pa.OSFile(tmp, "wb") as sink:
+                with pa.ipc.new_file(sink, _SKETCH_PA_SCHEMA) as w:
+                    w.write_batch(out)
+            os.rename(tmp, done)  # atomic publish = lineage record
+        yield out
+
+    return df.select(key_col).mapInArrow(fold, SKETCH_ROW_SCHEMA)
+
+
+def collect_sketch(sketch_df, empty_factory: Callable[[], object] | None = None):
+    """Small-result terminal: pull partition rows and merge on the driver.
+
+    Use tree_merge (sketchlib.spark.merge) first when partition counts
+    are large; this is the final ≤fanout-row collect."""
+    rows = sketch_df.select("state").collect()
+    if not rows:
+        return empty_factory() if empty_factory else None
+    sk = loads(rows[0].state)
+    for r in rows[1:]:
+        sk.merge(loads(r.state))
+    return sk

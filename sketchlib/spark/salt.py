@@ -1,0 +1,50 @@
+"""Explicit skew handling for sketch builds (north-rule requirement).
+
+Web-page tables are host-skewed (the fixture's Zipf(1.3) hosts put
+~25-35% of rows on the top host). AQE's skew-join splitting does not
+help ``applyInPandas``/``mapInArrow`` groups (SURVEY.md §4.2), so
+builds that key by a skewed column must salt explicitly:
+
+* ``salted_repartition`` — spread rows uniformly by a row-level hash
+  (url), regardless of the skewed column. Correct whenever the sketch
+  is global (cuckoo/HLL/CMS/... merges don't care which partition saw
+  which row).
+* ``salt_grouped`` — for per-key grouped builds (one sketch per host):
+  hot keys split into ``k`` salted subgroups, each builds a partial
+  sketch, a second associative merge per key collapses them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def salted_repartition(df, num_partitions: int, row_key: str = "url"):
+    """Uniform row spread: repartition on xxhash64(row_key).
+
+    For global (non-grouped) sketch builds this removes key skew
+    entirely: partition sizes are n/num_partitions ± noise.
+    """
+    return df.repartition(num_partitions, F.xxhash64(F.col(row_key)))
+
+
+def salt_grouped(df, group_key: str, salt_buckets: int, row_key: str = "url"):
+    """Add a bounded salt column for grouped builds on a skewed key.
+
+    groupBy(group_key, _salt) bounds any single group's rows to
+    ~rows(key)/salt_buckets; merge partial sketches per key afterwards.
+    """
+    return df.withColumn(
+        "_salt", (F.pmod(F.xxhash64(F.col(row_key)), F.lit(salt_buckets))).cast("int")
+    )
+
+
+def partition_sizes(df) -> list[int]:
+    """Diagnostic: rows per partition (used by skew tests/bench)."""
+    return [
+        r["cnt"]
+        for r in df.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("pid")
+        .collect()
+    ]

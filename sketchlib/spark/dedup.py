@@ -1,0 +1,283 @@
+"""Deduplication operators over document tables.
+
+Exact dedup is pure DataFrame algebra (Catalyst handles pushdown and
+partial aggregation); the near-dup family (MinHash-LSH, SimHash,
+n-gram Jaccard) uses the vectorized hash kernels inside pandas UDFs —
+signatures are computed per Arrow batch in numpy, then the candidate
+generation is a plain shuffle-join on band keys, which is the scalable
+(O(n·bands) shuffle, no n² compare) LSH shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..hashing import kernels
+
+U64 = np.uint64
+
+
+# --------------------------------------------------------------- exact
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the first row (min id) per exact text value.
+
+    groupBy(text) is a single hash shuffle with map-side partial agg;
+    at 100 TB prefer dedup_exact_hash (shuffles 8-byte digests, not
+    full texts)."""
+    firsts = df.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+    return firsts.select(id_col, text_col)
+
+
+def dedup_exact_hash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scale path: group by xxhash64(text) — the shuffle carries an
+    8-byte key instead of the document. Collisions (~n²/2^64) are
+    accepted for dedup semantics (or verify within-group downstream)."""
+    h = df.withColumn("_th", F.xxhash64(F.col(text_col)))
+    keep = h.groupBy("_th").agg(F.min(id_col).alias(id_col))
+    return keep.join(df.select(id_col, text_col), id_col, "inner").select(id_col, text_col)
+
+
+# --------------------------------------------------------------- shingles / minhash
+
+
+def _shingle_hashes(texts: pd.Series, k: int = 5) -> list[np.ndarray]:
+    """Per doc: uint64 hashes of its k-word shingles (vectorized per doc
+    batch: one kernel call over all shingles of the batch)."""
+    all_shingles: list[str] = []
+    bounds = [0]
+    for t in texts:
+        words = (t or "").split()
+        sh = [" ".join(words[i : i + k]) for i in range(max(len(words) - k + 1, 0))] or [t or ""]
+        all_shingles.extend(sh)
+        bounds.append(len(all_shingles))
+    hashes = kernels.hash64_batch(all_shingles, "xx")
+    return [hashes[bounds[i] : bounds[i + 1]] for i in range(len(texts))]
+
+
+_MERSENNE = U64((1 << 61) - 1)
+
+
+def _minhash_sig(sh_hashes: np.ndarray, perms_a: np.ndarray, perms_b: np.ndarray) -> np.ndarray:
+    """num_perm minima of (a*h + b) mod p over the shingle set."""
+    with np.errstate(over="ignore"):
+        vals = (perms_a[:, None] * sh_hashes[None, :] + perms_b[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """doc → array<bigint> MinHash signature (Broder resemblance)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, (1 << 61) - 1, num_perm, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, num_perm, dtype=np.uint64)
+
+    @F.pandas_udf("array<long>")
+    def sig(texts: pd.Series) -> pd.Series:
+        per_doc = _shingle_hashes(texts, k=shingle_k)
+        return pd.Series(
+            [_minhash_sig(h, a, b).astype(np.int64) for h in per_doc]
+        )
+
+    return df.select(id_col, text_col).withColumn("minhash", sig(F.col(text_col)))
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH, verified by signature
+    Jaccard ≥ threshold. Returns (id_a, id_b, jaccard_sim), id_a < id_b.
+
+    Scale shape: explode to (band_key → id), self-join per band bucket
+    (shuffle on band hash — uniform by construction), dedupe pairs,
+    verify with one array comparison. No n² anywhere.
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed)
+
+    @F.pandas_udf("array<long>")
+    def band_keys(sig: pd.Series) -> pd.Series:
+        out = []
+        for s in sig:
+            m = np.asarray(s, np.uint64).reshape(bands, rows_per_band)
+            # fold each band to one 64-bit key (order-sensitive mix)
+            key = np.zeros(bands, np.uint64)
+            with np.errstate(over="ignore"):
+                for c in range(rows_per_band):
+                    key = key * U64(1099511628211) + m[:, c]
+                key = (key ^ (np.arange(bands, dtype=np.uint64) << U64(56)))
+            out.append(key.astype(np.int64))
+        return pd.Series(out)
+
+    banded = sigs.withColumn("band", F.explode(band_keys("minhash"))).select(
+        id_col, "minhash", "band"
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cand = (
+        left.join(right, on="band")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.minhash").alias("sig_a"),
+            F.col("b.minhash").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(num_perm)
+    return (
+        cand.withColumn("jaccard_sim", sim)
+        .where(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+# --------------------------------------------------------------- simhash
+
+
+def simhash_udf(bits: int = 64):
+    """text → int64 SimHash over whitespace tokens (Charikar).
+
+    Vectorized: all tokens of the batch hashed in one kernel call;
+    per-doc bit-vote via np.add.at on (doc, bit) pairs."""
+
+    @F.pandas_udf("long")
+    def simhash(texts: pd.Series) -> pd.Series:
+        tokens: list[str] = []
+        doc_ids: list[int] = []
+        for i, t in enumerate(texts):
+            ws = (t or "").split() or [""]
+            tokens.extend(ws)
+            doc_ids.extend([i] * len(ws))
+        h = kernels.hash64_batch(tokens, "xx")
+        doc = np.asarray(doc_ids, np.int64)
+        votes = np.zeros((len(texts), 64), np.int64)
+        bitmat = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & U64(1)).astype(
+            np.int64
+        ) * 2 - 1
+        np.add.at(votes, doc, bitmat)
+        sig = (votes > 0).astype(np.uint64)
+        out = np.zeros(len(texts), np.uint64)
+        for b in range(64):
+            out |= sig[:, b] << U64(b)
+        return pd.Series(out.astype(np.int64))
+
+    return simhash
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance ≤ max_hamming via the
+    4-block pigeonhole trick: identical 16-bit block → candidate."""
+    sh = df.select(id_col).withColumn("simhash", simhash_udf()(F.col(text_col)))
+    blocks = [
+        ((F.shiftrightunsigned(F.col("simhash"), 16 * i)) % F.lit(1 << 16)).alias(f"b{i}")
+        for i in range(4)
+    ]
+    keyed = sh.select(id_col, "simhash", *blocks)
+    pairs = None
+    for i in range(4):
+        a, b = keyed.alias("a"), keyed.alias("b")
+        p = (
+            a.join(b, F.col(f"a.b{i}") == F.col(f"b.b{i}"))
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.simhash").alias("sh_a"),
+                F.col("b.simhash").alias("sh_b"),
+            )
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------- ngram jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram (word) Jaccard for candidate pairs sharing ≥1 gram.
+
+    Pure DataFrame expression: explode distinct grams, join on gram,
+    count intersections, |A∪B| = |A|+|B|−|A∩B|. Exact but O(pairs
+    sharing a gram) — use on candidate subsets, not the full corpus.
+    """
+    grams = (
+        df.select(
+            id_col,
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(0),
+                            F.greatest(
+                                F.size(F.split(F.col(text_col), " ")) - n, F.lit(0)
+                            ),
+                        ),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(F.split(F.col(text_col), " "), i + 1, n)
+                        ),
+                    )
+                )
+            ).alias("gram"),
+        )
+    )
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(b, "gram")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

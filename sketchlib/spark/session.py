@@ -30,6 +30,7 @@ def get_spark(
     return (
         SparkSession.builder.master(master)
         .appName(app)
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

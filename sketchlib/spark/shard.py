@@ -1,0 +1,121 @@
+"""Sharded cuckoo filters — the 10^12-key scale path.
+
+A single merged filter needs global geometry in every task (2 bytes ×
+total slots), which stops scaling around 10^9 capacity. Sharding keeps
+per-task memory constant at any scale:
+
+* build: repartition rows by ``pmod(xxhash64(key), num_shards)``; each
+  shard builds ONE filter of capacity/num_shards (mapInArrow fold);
+  the result table (shard_id, state, metrics) is the filter.
+* probe: repartition probes by the same function, join shard states by
+  shard_id (broadcast when the shard table is small; co-partitioned
+  sort-merge join when not), answer each probe batch vectorized.
+
+No cross-shard merge exists or is needed — the shard table is the
+distributed filter, and per-shard merge (same geometry) still works
+for combining incremental builds.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import CuckooConfig
+from ..cuckoo import CuckooFilter
+from ..serde import loads
+
+SHARD_SCHEMA = (
+    "shard_id int, n_rows long, item_count long, fail_count long, "
+    "load_factor double, state binary"
+)
+
+
+def _shard_col(key_col: str, num_shards: int):
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_shards)).cast("int")
+
+
+def build_sharded(
+    df: DataFrame, key_col: str, num_shards: int, cfg: CuckooConfig
+) -> DataFrame:
+    """→ one row per shard (SHARD_SCHEMA). Exactly one task per shard."""
+    shard_cfg = CuckooConfig(
+        capacity=max(cfg.capacity // num_shards, 64),
+        bucket_size=cfg.bucket_size,
+        fingerprint_bits=cfg.fingerprint_bits,
+        max_kicks=cfg.max_kicks,
+        hash_strategy=cfg.hash_strategy,
+        seed=cfg.seed,
+    )
+    keyed = df.select(F.col(key_col).alias("key")).withColumn(
+        "shard_id", _shard_col("key", num_shards)
+    )
+    # one shuffle, keyed exactly by shard
+    keyed = keyed.repartition(num_shards, "shard_id")
+
+    def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        filters: dict[int, CuckooFilter] = {}
+        counts: dict[int, int] = {}
+        for rb in batches:
+            keys = rb.column("key")
+            shards = rb.column("shard_id").to_numpy()
+            # a task normally owns one shard; group defensively anyway
+            import numpy as np
+
+            for sid in np.unique(shards):
+                mask = shards == sid
+                f = filters.setdefault(int(sid), CuckooFilter(shard_cfg))
+                f.insert_batch(keys.filter(pa.array(mask)))
+                counts[int(sid)] = counts.get(int(sid), 0) + int(mask.sum())
+        out_schema = pa.schema(
+            [
+                ("shard_id", pa.int32()),
+                ("n_rows", pa.int64()),
+                ("item_count", pa.int64()),
+                ("fail_count", pa.int64()),
+                ("load_factor", pa.float64()),
+                ("state", pa.binary()),
+            ]
+        )
+        for sid, f in filters.items():
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "shard_id": [sid],
+                    "n_rows": [counts[sid]],
+                    "item_count": [f.num_items],
+                    "fail_count": [f.insert_failures],
+                    "load_factor": [f.load_factor()],
+                    "state": [f.to_bytes()],
+                },
+                schema=out_schema,
+            )
+
+    return keyed.mapInArrow(fold, SHARD_SCHEMA)
+
+
+def probe_sharded(
+    probes: DataFrame, key_col: str, shard_df: DataFrame, num_shards: int
+) -> DataFrame:
+    """→ probes + boolean ``member`` column.
+
+    Broadcast-join the shard table (KB-MB per shard) onto probes
+    grouped by shard, answering each group with one vectorized lookup.
+    """
+    import pandas as pd
+
+    keyed = probes.withColumn("shard_id", _shard_col(key_col, num_shards))
+    joined = keyed.join(F.broadcast(shard_df.select("shard_id", "state")), "shard_id")
+
+    def lookup(pdf: pd.DataFrame) -> pd.DataFrame:
+        f = loads(pdf["state"].iloc[0])
+        out = pdf.drop(columns=["state"])
+        out["member"] = f.lookup_batch(pdf[key_col])
+        return out
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in keyed.schema.fields
+    ) + ", member boolean"
+    return joined.groupBy("shard_id").applyInPandas(lookup, out_schema)

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: exact brute-force cosine top-k, expressed with built-in
+higher-order functions (zip_with/aggregate — JVM-side, no Python).
+Scale path: LSH-bucketed search via random hyperplane signatures
+(the numpy kernels' batch hashing shape), probing only matching
+buckets — candidates shrink by ~2^bits.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+
+
+def cosine_topk_bruteforce(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine to one query vector.
+
+    The query is a literal array (constant-folded); scoring is one
+    whole-stage-codegen projection over the scan, then a tree-reduced
+    orderBy+limit — the right plan at any scale (no shuffle until the
+    k-row reduction)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        id_col,
+        (
+            _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
+        ).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
+
+
+def hyperplane_signature_udf(dim: int, bits: int = 16, seed: int = 42):
+    """vec → int signature: sign pattern against `bits` random planes."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    planes = rng.standard_normal((bits, dim)).astype(np.float32)
+
+    @F.pandas_udf("int")
+    def sig(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, np.float32) for v in vecs])
+        bitsmat = (mat @ planes.T) > 0
+        out = np.zeros(len(vecs), np.int64)
+        for b in range(bits):
+            out |= bitsmat[:, b].astype(np.int64) << b
+        return pd.Series(out.astype(np.int32))
+
+    return sig
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+    max_hamming: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: probe only buckets within Hamming ≤ max_hamming of the
+    query's hyperplane signature, then exact-score the candidates.
+
+    At scale: write the table bucketed/partitioned by `sig` so the probe
+    prunes partitions at the source (predicate pushdown on sig)."""
+    dim = len(query_vec)
+    sig_udf = hyperplane_signature_udf(dim, bits, seed)
+    with_sig = df.withColumn("sig", sig_udf(F.col(vec_col)))
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    planes = rng.standard_normal((bits, dim)).astype(np.float32)
+    q = np.asarray(query_vec, np.float32)
+    qsig = 0
+    for b in range(bits):
+        if float(planes[b] @ q) > 0:
+            qsig |= 1 << b
+    # enumerate probe signatures within the hamming radius
+    probes = {qsig}
+    if max_hamming >= 1:
+        probes |= {qsig ^ (1 << b) for b in range(bits)}
+    if max_hamming >= 2:
+        probes |= {
+            qsig ^ (1 << b1) ^ (1 << b2) for b1 in range(bits) for b2 in range(b1)
+        }
+    cand = with_sig.where(F.col("sig").isin([int(p) for p in probes]))
+    return cosine_topk_bruteforce(cand, query_vec, k, vec_col, id_col)
+
+
+def pairwise_cosine_knn(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """All-pairs kNN restricted to LSH buckets (embedding near-dup
+    detection): join within signature buckets, rank by cosine, keep k.
+    Shuffle key = signature (uniform by construction)."""
+    from pyspark.sql.window import Window
+
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    sig_udf = hyperplane_signature_udf(int(dim_row.d), bits, seed)
+    s = df.select(id_col, vec_col).withColumn("sig", sig_udf(F.col(vec_col)))
+    a, b = s.alias("a"), s.alias("b")
+    pairs = (
+        a.join(b, "sig")
+        .where(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (
+                _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                / (_norm(F.col(f"a.{vec_col}")) * _norm(F.col(f"b.{vec_col}")))
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("cosine_sim").desc(), F.col("id_b"))
+    return pairs.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k).drop("rk")

@@ -1,0 +1,130 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path ops are built-in pyspark.sql.functions expressions (JVM,
+whole-stage codegen) so Catalyst can push/prune around them; only the
+rolling-hash fingerprint needs the numpy kernels. Each operator has a
+deterministic, SQL-expressible definition so the DuckDB oracle can
+verify it exactly (__spark_entry__.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+# small deterministic stopword lists for the n-gram language heuristic
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "in"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "que", "por", "con"),
+}
+
+
+def token_count(col) -> Column:
+    """Whitespace token count; empty text counts 0."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(c), r"\s+"))
+    )
+
+
+def word_token_count(col) -> Column:
+    """BPE-ish subword proxy: count of r'\\w+|[^\\w\\s]' matches."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"(\w+|[^\w\s])"), 0))
+
+
+def lang_id(col) -> Column:
+    """Deterministic stopword-vote language heuristic (en/de/fr/es/und).
+
+    Votes = occurrences of each language's marker words as whole
+    tokens; ties and zero votes → 'und'. Simple enough to express
+    identically in ANSI SQL for the exact oracle.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+
+    def votes(lang: str) -> Column:
+        v = F.lit(0)
+        for w in LANG_MARKERS[lang]:
+            # occurrences of " w " = (len - len(replace))/ (len(w)+2)... use count via split
+            v = v + F.size(F.split(padded, f" {w} ")) - 1
+        return v
+
+    vs = {lang: votes(lang) for lang in LANG_MARKERS}
+    best = F.greatest(*vs.values())
+    out = F.lit("und")
+    # deterministic priority order on ties: en > de > fr > es
+    for lang in ("es", "fr", "de", "en"):
+        out = F.when((best > 0) & (vs[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds integer/ratio quality features: chars, tokens, mean token
+    length, punctuation count, stopword count."""
+    c = F.col(text_col)
+    toks = token_count(text_col)
+    stop = F.lit(0)
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    for w in ("the", "and", "of", "to", "in", "a", "is"):
+        stop = stop + F.size(F.split(padded, f" {w} ")) - 1
+    return (
+        df.withColumn("n_chars_q", F.length(c))
+        .withColumn("n_tokens", toks)
+        .withColumn("n_punct", F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", "")))
+        .withColumn("n_stopwords", stop)
+        .withColumn(
+            "mean_token_len",
+            F.when(toks > 0, (F.length(F.regexp_replace(c, r"\s+", "")) / toks)).otherwise(
+                F.lit(0.0)
+            ),
+        )
+    )
+
+
+def doc_fingerprint_udf(window: int = 8):
+    """Rolling polynomial fingerprint (winnowing-style document
+    signature): min of rolling hashes over byte windows. Vectorized via
+    the xx kernel over window slices; non-SQL (rows-only oracle)."""
+    import numpy as np
+
+    from ..hashing import kernels
+
+    @F.pandas_udf("long")
+    def fingerprint(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), np.int64)
+        windows: list[bytes] = []
+        bounds = [0]
+        for t in texts:
+            b = (t or "").encode()
+            if len(b) <= window:
+                windows.append(b)
+            else:
+                step = max((len(b) - window) // 64, 1)  # ≤64 windows/doc
+                windows.extend(b[i : i + window] for i in range(0, len(b) - window + 1, step))
+            bounds.append(len(windows))
+        h = kernels.hash64_batch(windows, "xx")
+        for i in range(len(texts)):
+            seg = h[bounds[i] : bounds[i + 1]]
+            out[i] = np.int64(int(seg.min()) - (1 << 63)) if len(seg) else 0
+        return pd.Series(out)
+
+    return fingerprint
+
+
+def top_k_tokens(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """Exact global top-k tokens (count desc, token asc tiebreak).
+
+    explode → two-phase hash agg (map-side partial combine is automatic)
+    → orderBy+limit (tree-reduced top-k, no full sort materialization).
+    """
+    return (
+        df.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(k)
+    )

@@ -1,0 +1,56 @@
+"""Shared fixtures: one local SparkSession per test session + tiny
+deterministic document tables (FIXTURES.md §1, §4)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF0001 = "/root/testdata/sf0.001"
+SF001 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[2]")
+        .appName("sketchlib-tests")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "4g")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def docs_table():
+    """1k-row deterministic web-page table (pyarrow)."""
+    from sketchlib.datagen import generate_documents
+
+    return generate_documents(1000, seed=42)
+
+
+@pytest.fixture(scope="session")
+def docs_parquet(tmp_path_factory, docs_table):
+    import pyarrow.parquet as pq
+
+    path = tmp_path_factory.mktemp("docs") / "documents.parquet"
+    pq.write_table(docs_table, path)
+    return str(path)
+
+
+@pytest.fixture(scope="session")
+def docs_df(spark, docs_parquet):
+    return spark.read.parquet(docs_parquet)

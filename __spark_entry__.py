@@ -475,10 +475,8 @@ def oracle_sql() -> dict[str, str]:
         f"(len(string_split(' ' || lower(coalesce(text,'')) || ' ', ' {w} ')) - 1)"
         for w in ("the", "and", "of", "to", "in", "a", "is")
     )
-    tok = (
-        "CASE WHEN trim(coalesce(text,'')) = '' THEN 0 "
-        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
-    )
+    # token = non-whitespace run (\S+), matching sketchlib.spark.text.token_count
+    tok = "len(regexp_extract_all(coalesce(text,''), '\\S+'))"
     return {
         "cuckoo_membership": "SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS key FROM orders",
         "cuckoo_delete": (

@@ -193,7 +193,11 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance ≤ max_hamming via the
     4-block pigeonhole trick: identical 16-bit block → candidate."""
-    sh = df.select(id_col).withColumn("simhash", simhash_udf()(F.col(text_col)))
+    sh = (
+        df.select(id_col, text_col)
+        .withColumn("simhash", simhash_udf()(F.col(text_col)))
+        .drop(text_col)
+    )
     blocks = [
         ((F.shiftrightunsigned(F.col("simhash"), 16 * i)) % F.lit(1 << 16)).alias(f"b{i}")
         for i in range(4)

@@ -22,11 +22,12 @@ LANG_MARKERS = {
 
 
 def token_count(col) -> Column:
-    """Whitespace token count; empty text counts 0."""
+    """Whitespace token count = number of non-whitespace runs (\\S+),
+    exactly Python's str.split() semantics; empty/all-space text -> 0.
+    (F.trim strips ASCII spaces only, so split-based counting miscounts
+    texts ending in \\n/\\t — regexp_extract_all avoids that.)"""
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim(c), r"\s+"))
-    )
+    return F.size(F.regexp_extract_all(c, F.lit(r"(\S+)"), 1))
 
 
 def word_token_count(col) -> Column:

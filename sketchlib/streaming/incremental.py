@@ -13,8 +13,8 @@ from __future__ import annotations
 import os
 
 from ..serde import loads
-from .build import build_sketches
-from .merge import tree_merge
+from ..spark.build import build_sketches
+from ..spark.merge import tree_merge
 
 
 class IncrementalSketchBuilder:

@@ -1,0 +1,230 @@
+"""Spark-layer tests: per-partition build + tree merge == single build,
+salting, checkpoint/resume lineage, sharded build/probe, broadcast UDFs,
+and the end-to-end text invariant through Arrow (FIXTURES.md §4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib import CuckooConfig, CuckooFilter
+from sketchlib.sketches import BloomFilter, CountMinSketch, HyperLogLog, KLLSketch
+from sketchlib.spark import (
+    build_sketches,
+    cms_estimate_udf,
+    membership_udf,
+    salted_repartition,
+    tree_merge,
+    tree_merge_df,
+)
+from sketchlib.spark.salt import partition_sizes, salt_grouped
+
+
+def _cfg(capacity=8192):
+    return CuckooConfig(capacity=capacity, fingerprint_bits=16, hash_strategy="xx")
+
+
+# --------------------------------------------------- build + merge == single
+
+
+@pytest.mark.parametrize("n_parts", [1, 2, 8])
+def test_partition_build_merge_equals_single(spark, docs_df, n_parts):
+    urls = docs_df.select(F.col("url").alias("key")).repartition(n_parts)
+    merged = tree_merge(build_sketches(urls, "key", lambda: CuckooFilter(_cfg())))
+    local = CuckooFilter(_cfg())
+    url_list = [r.key for r in docs_df.select(F.col("url").alias("key")).collect()]
+    local.insert_batch(url_list)
+    assert merged.count() == local.count() == 1000
+    assert merged.lookup_batch(url_list).all()
+    assert merged.insert_failures == 0
+
+
+def test_hll_distributed_equals_local_exact_state(spark, docs_df):
+    urls = docs_df.select(F.col("url").alias("key")).repartition(8)
+    merged = tree_merge(build_sketches(urls, "key", lambda: HyperLogLog(12)))
+    local = HyperLogLog(12)
+    local.update([r.url for r in docs_df.select("url").collect()])
+    # register-max merge: distributed state is bit-identical to local
+    assert merged.to_bytes() == local.to_bytes()
+    assert abs(merged.estimate() - 1000) / 1000 <= 3 * merged.std_error()
+
+
+def test_hll_matches_spark_native_approx(spark, docs_df):
+    # cross-check against Spark's own HLL++ (approx_count_distinct)
+    urls = docs_df.select(F.col("url").alias("key"))
+    merged = tree_merge(build_sketches(urls.repartition(4), "key", lambda: HyperLogLog(14)))
+    native = docs_df.agg(F.approx_count_distinct("url", 0.01)).first()[0]
+    assert abs(merged.estimate() - native) / native < 0.05
+
+
+def test_tree_merge_df_fanout(spark, docs_df):
+    urls = docs_df.select(F.col("url").alias("key")).repartition(8)
+    sketch_df = build_sketches(urls, "key", lambda: HyperLogLog(12))
+    level1 = tree_merge_df(sketch_df, fanout=4)
+    rows = level1.collect()
+    assert 0 < len(rows) <= 4
+    assert sum(r.n_rows for r in rows) == 1000
+
+
+def test_kll_numeric_build(spark, docs_df):
+    lens = docs_df.select(F.length("text").cast("double").alias("v"))
+    merged = tree_merge(build_sketches(lens.repartition(4), "v", lambda: KLLSketch(200), numeric=True))
+    exact = sorted(r.v for r in lens.collect())
+    est = float(np.atleast_1d(merged.quantile(0.5))[0])
+    rank = np.searchsorted(exact, est, side="right") / len(exact)
+    assert abs(rank - 0.5) <= 0.05
+
+
+# --------------------------------------------------------------- broadcast UDFs
+
+
+def test_membership_udf_no_false_negatives(spark, docs_df):
+    urls = docs_df.select(F.col("url").alias("key"))
+    merged = tree_merge(build_sketches(urls.repartition(4), "key", lambda: CuckooFilter(_cfg())))
+    member = membership_udf(spark, merged)
+    hits = urls.withColumn("m", member("key")).where("m").count()
+    assert hits == 1000
+
+
+def test_membership_udf_fpr_on_absent(spark, docs_df):
+    urls = docs_df.select(F.col("url").alias("key"))
+    merged = tree_merge(build_sketches(urls.repartition(4), "key", lambda: CuckooFilter(_cfg())))
+    member = membership_udf(spark, merged)
+    absent = spark.range(20000).select(F.concat(F.lit("absent-"), F.col("id")).alias("key"))
+    fp = absent.withColumn("m", member("key")).where("m").count()
+    # eps = 2*4/2^16 ~ 0.0122%; 20k probes -> expect ~2.4, allow 5x
+    assert fp <= 13
+
+
+def test_bloom_membership_udf(spark, docs_df):
+    urls = docs_df.select(F.col("url").alias("key"))
+    merged = tree_merge(
+        build_sketches(urls.repartition(4), "key", lambda: BloomFilter(5000, 0.01))
+    )
+    member = membership_udf(spark, merged)
+    assert urls.withColumn("m", member("key")).where("m").count() == 1000
+
+
+def test_cms_estimate_udf_never_under(spark, docs_df):
+    langs = docs_df.select(F.col("lang").alias("key"))
+    merged = tree_merge(
+        build_sketches(langs.repartition(4), "key", lambda: CountMinSketch(width=2048, depth=5))
+    )
+    est = cms_estimate_udf(spark, merged)
+    exact = langs.groupBy("key").agg(F.count("*").alias("c")).withColumn("e", est("key"))
+    bad = exact.where(F.col("e") < F.col("c")).count()
+    assert bad == 0
+
+
+# ------------------------------------------------------------------- salting
+
+
+def test_salted_repartition_uniform(spark, docs_df):
+    # Zipf hosts are skewed; salting by url hash must even partitions out
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    by_host = docs_df.select(F.col("url"), host.alias("host")).repartition(8, "host")
+    sizes_skewed = partition_sizes(by_host)
+    salted = salted_repartition(docs_df.select("url"), 8, row_key="url")
+    sizes_salted = partition_sizes(salted)
+    n = 1000
+    assert max(sizes_salted) < n / 8 * 1.5
+    assert max(sizes_salted) <= max(sizes_skewed)
+
+
+def test_salt_grouped_bounds_groups(spark, docs_df):
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    d = docs_df.select("url", host.alias("host"))
+    top_sz = d.groupBy("host").count().agg(F.max("count")).first()[0]
+    salted = salt_grouped(d, "host", salt_buckets=8, row_key="url")
+    top_salted = salted.groupBy("host", "_salt").count().agg(F.max("count")).first()[0]
+    assert top_salted <= top_sz / 8 * 2.5
+
+
+# ------------------------------------------------------------ checkpoint/resume
+
+
+def test_checkpoint_resume(spark, docs_df, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    urls = docs_df.select(F.col("url").alias("key")).repartition(4)
+    df1 = build_sketches(urls, "key", lambda: HyperLogLog(12), checkpoint_dir=ckpt)
+    merged1 = tree_merge(df1)
+    from sketchlib.spark.checkpoint import completed_partitions
+
+    done = completed_partitions(ckpt)
+    assert len(done) == 4
+    # resume: identical result without recompute (stored rows re-emitted)
+    df2 = build_sketches(urls, "key", lambda: HyperLogLog(12), checkpoint_dir=ckpt)
+    merged2 = tree_merge(df2)
+    assert merged1.to_bytes() == merged2.to_bytes()
+
+
+def test_lineage_manifest(tmp_path):
+    from sketchlib.spark.checkpoint import mark_stage_done, stage_done
+
+    d = str(tmp_path / "lineage")
+    assert not stage_done(d, "build")
+    mark_stage_done(d, "build", {"rows": 123})
+    assert stage_done(d, "build")
+    assert not stage_done(d, "merge")
+
+
+# ------------------------------------------------------------------- sharded
+
+
+def test_sharded_build_probe(spark, docs_df):
+    from sketchlib.spark.shard import build_sharded, probe_sharded
+
+    keys = docs_df.select(F.col("url").alias("key"))
+    shards = build_sharded(keys, "key", num_shards=4, cfg=_cfg())
+    shard_rows = shards.collect()
+    assert {r.shard_id for r in shard_rows} == {0, 1, 2, 3}
+    assert sum(r.n_rows for r in shard_rows) == 1000
+    assert sum(r.fail_count for r in shard_rows) == 0
+    probed = probe_sharded(keys, "key", shards, num_shards=4)
+    assert probed.where("member").count() == 1000
+    absent = spark.range(5000).select(F.concat(F.lit("no-"), F.col("id")).alias("key"))
+    fp = probe_sharded(absent, "key", shards, num_shards=4).where("member").count()
+    assert fp <= 10
+
+
+# ------------------------------------------------------- end-to-end invariant
+
+
+def test_text_invariant_through_arrow(spark, docs_df):
+    """The north-rule per-row invariant: text == extract_text(html),
+    byte-identical, after a full Spark round trip through Arrow."""
+    from sketchlib.textx import extract_text
+
+    def check(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ok = [extract_text(h) == t for h, t in zip(pdf["html"], pdf["text"])]
+            yield pd.DataFrame({"ok": ok})
+
+    bad = (
+        docs_df.select("html", "text")
+        .mapInPandas(check, "ok boolean")
+        .where(~F.col("ok"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_docs_parquet_roundtrip_identical(spark, docs_table, tmp_path):
+    # writing + reading through Spark preserves text bytes exactly
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "d.parquet")
+    pq.write_table(docs_table, p)
+    df = spark.read.parquet(p)
+    got = {r.url: r.text for r in df.select("url", "text").collect()}
+    want = {
+        u: t
+        for u, t in zip(
+            docs_table.column("url").to_pylist(), docs_table.column("text").to_pylist()
+        )
+    }
+    assert got == want

@@ -1,0 +1,272 @@
+"""Operator tests: dedup family, text analysis, similarity search,
+multimodal plumbing, streaming incremental build."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------------- dedup
+
+
+def test_dedup_exact_and_hash_agree(spark, docs_df):
+    from sketchlib.spark.dedup import dedup_exact, dedup_exact_hash
+
+    a = {r.doc_id for r in dedup_exact(docs_df.withColumn("doc_id", F.monotonically_increasing_id())).collect()} if "doc_id" not in docs_df.columns else None
+    d = docs_df.withColumn("doc_id", F.xxhash64("url"))
+    ex = {r.doc_id for r in dedup_exact(d).collect()}
+    hs = {r.doc_id for r in dedup_exact_hash(d).collect()}
+    assert ex == hs
+    n_distinct_texts = d.select("text").distinct().count()
+    assert len(ex) == n_distinct_texts
+
+
+def test_minhash_signatures_shape(spark, docs_df):
+    from sketchlib.spark.dedup import minhash_signatures
+
+    d = docs_df.limit(50).withColumn("doc_id", F.xxhash64("url"))
+    sigs = minhash_signatures(d, num_perm=64)
+    row = sigs.first()
+    assert len(row.minhash) == 64
+
+
+def test_minhash_finds_exact_duplicates(spark, docs_df):
+    from sketchlib.spark.dedup import minhash_dedup_pairs
+
+    d = docs_df.withColumn("doc_id", F.xxhash64("url"))
+    # ground truth: identical texts under distinct ids
+    dup_pairs = (
+        d.alias("a")
+        .join(d.alias("b"), F.col("a.text") == F.col("b.text"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    want = {(r.id_a, r.id_b) for r in dup_pairs.collect()}
+    assert want, "fixture should contain exact duplicates"
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_dedup_pairs(d, num_perm=64, bands=16, threshold=1.0).collect()
+    }
+    # identical texts => identical shingle sets => identical signatures
+    assert want <= got
+
+
+def test_minhash_jaccard_near_dups(spark):
+    from sketchlib.spark.dedup import minhash_dedup_pairs
+
+    base = " ".join(f"w{i}" for i in range(200))
+    near = " ".join(f"w{i}" for i in range(195)) + " x1 x2 x3 x4 x5"
+    far = " ".join(f"z{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = minhash_dedup_pairs(df, num_perm=128, bands=32, threshold=0.5).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_simhash_near_dup_pairs(spark):
+    from sketchlib.spark.dedup import simhash_near_dup_pairs
+
+    base = " ".join(f"tok{i}" for i in range(300))
+    near = " ".join(f"tok{i}" for i in range(299)) + " other"
+    far = " ".join(f"q{i}" for i in range(300))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    got = {(r.id_a, r.id_b) for r in simhash_near_dup_pairs(df, max_hamming=3).collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got
+
+
+def test_ngram_jaccard_pairs(spark):
+    from sketchlib.spark.dedup import ngram_jaccard_pairs
+
+    a = "the quick brown fox jumps over the lazy dog today"
+    b = "the quick brown fox jumps over the lazy cat today"
+    c = "completely different words in this one entirely now"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], "doc_id long, text string")
+    rows = ngram_jaccard_pairs(df, n=3, threshold=0.3).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in rows}
+    assert (1, 2) in got
+    assert all(k == (1, 2) for k in got)
+
+
+# ------------------------------------------------------------------- text
+
+
+def test_token_count_matches_python(spark, docs_df):
+    from sketchlib.spark.text import token_count
+
+    got = {
+        r.url: r.n
+        for r in docs_df.select("url", token_count("text").alias("n")).collect()
+    }
+    want = {r.url: len(r.text.split()) for r in docs_df.select("url", "text").collect()}
+    assert got == want
+
+
+def test_lang_id_on_fixture(spark):
+    from sketchlib.spark.text import lang_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog walked to the park in town"),
+            (2, "der hund und die katze das ist gut und der tag"),
+            (3, "le chat et la maison les animaux des villes"),
+            (4, ""),
+        ],
+        "id long, text string",
+    )
+    got = {r.id: r.lang for r in df.select("id", lang_id("text").alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_quality_score_columns(spark, docs_df):
+    from sketchlib.spark.text import quality_score
+
+    q = quality_score(docs_df.limit(100))
+    row = q.where(F.length("text") > 0).first()
+    assert row.n_chars_q == len(row.text)
+    assert row.n_tokens == len(row.text.split())
+    assert row.mean_token_len > 0
+
+
+def test_top_k_tokens_exact(spark):
+    from sketchlib.spark.text import top_k_tokens
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b c c d")], "id long, text string"
+    )
+    rows = top_k_tokens(df, k=3).collect()
+    assert [(r.token, r.cnt) for r in rows] == [("a", 4), ("b", 3), ("c", 3)]
+
+
+def test_doc_fingerprint_deterministic(spark, docs_df):
+    from sketchlib.spark.text import doc_fingerprint_udf
+
+    d = docs_df.limit(50)
+    f1 = {r.url: r.fp for r in d.select("url", doc_fingerprint_udf()(F.col("text")).alias("fp")).collect()}
+    f2 = {r.url: r.fp for r in d.select("url", doc_fingerprint_udf()(F.col("text")).alias("fp")).collect()}
+    assert f1 == f2
+    # identical texts fingerprint identically
+    same = d.groupBy("text").agg(F.count("*").alias("c")).where("c > 1").count()
+    # (fixture may or may not have dups in first 50; just check function purity)
+
+
+# ---------------------------------------------------------------- similarity
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.Generator(np.random.PCG64(21))
+    base = rng.standard_normal(16).astype(np.float64)
+    rows = []
+    for i in range(200):
+        if i < 5:  # first 5 are near the query direction
+            v = base + rng.standard_normal(16) * 0.1
+        else:
+            v = rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_bruteforce_exact(spark, emb_df):
+    from sketchlib.spark.similarity import cosine_topk_bruteforce
+
+    q = emb_df.where("vec_id = 0").first().embedding
+    rows = cosine_topk_bruteforce(emb_df, list(q), k=10).collect()
+    assert rows[0].vec_id == 0 and abs(rows[0].cosine_sim - 1.0) < 1e-9
+    # numpy oracle
+    all_rows = emb_df.collect()
+    mat = np.array([r.embedding for r in all_rows])
+    qv = np.array(q)
+    sims = mat @ qv / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+    want = [all_rows[i].vec_id for i in np.argsort(-sims)[:10]]
+    got = [r.vec_id for r in rows]
+    assert set(got) == set(want)
+
+
+def test_cosine_topk_lsh_recall(spark, emb_df):
+    from sketchlib.spark.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+
+    q = list(emb_df.where("vec_id = 0").first().embedding)
+    exact = {r.vec_id for r in cosine_topk_bruteforce(emb_df, q, 10).collect()}
+    approx = {r.vec_id for r in cosine_topk_lsh(emb_df, q, 10, bits=8, max_hamming=2).collect()}
+    assert len(exact & approx) / 10 >= 0.5
+
+
+def test_pairwise_knn_shape(spark, emb_df):
+    from sketchlib.spark.similarity import pairwise_cosine_knn
+
+    out = pairwise_cosine_knn(emb_df.limit(50), k=3, bits=4)
+    counts = out.groupBy("id_a").count().collect()
+    assert all(r["count"] <= 3 for r in counts)
+
+
+# ---------------------------------------------------------------- multimodal
+
+
+def test_multimodal_decode_plumbing(spark):
+    from sketchlib.spark.multimodal import decode_media, synth_media_table
+
+    media = synth_media_table(spark, n=48)
+    out = decode_media(media).collect()
+    assert len(out) == 48
+    for r in out:
+        assert r.width >= 1 and r.height >= 1 and r.n_frames >= 1
+        assert len(r.feature) == 8
+        assert abs(sum(r.feature) - 1.0) < 1e-5
+    img = [r for r in out if r.media_type == "image"]
+    assert all(r.n_frames == 1 for r in img)
+
+
+def test_multimodal_unknown_type_raises(spark):
+    from sketchlib.spark.multimodal import _decode_stub
+
+    with pytest.raises(NotImplementedError):
+        _decode_stub(b"xx", "hologram")
+
+
+def test_frame_sample_plan(spark):
+    from sketchlib.spark.multimodal import frame_sample
+
+    df = spark.createDataFrame([(1, 25), (2, 1)], "doc_id long, n_frames int")
+    rows = frame_sample(df, every_n=10).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert sorted(by_doc[1]) == [0, 10, 20]
+    assert by_doc[2] == [0]
+
+
+# ----------------------------------------------------------------- streaming
+
+
+def test_incremental_builder_batches(spark, docs_df, tmp_path):
+    from sketchlib.sketches import HyperLogLog
+    from sketchlib.streaming.incremental import IncrementalSketchBuilder
+
+    state = str(tmp_path / "hll.bin")
+    b = IncrementalSketchBuilder(lambda: HyperLogLog(12), "key", state)
+    urls = docs_df.select(F.col("url").alias("key"))
+    # simulate three micro-batches
+    for i in range(3):
+        batch = urls.where(F.pmod(F.xxhash64("key"), F.lit(3)) == i)
+        b.process_batch(batch, i)
+    est = b.current().estimate()
+    assert abs(est - 1000) / 1000 <= 3 * b.current().std_error()
+
+
+def test_windowed_distinct_stream_plan(spark):
+    # plan-level check: the streaming agg builds without a real stream
+    from sketchlib.streaming.incremental import windowed_distinct_stream
+
+    df = spark.createDataFrame(
+        [("2026-01-01 00:00:00", "u1")], "ts string, user_id string"
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "user_id")
+    out = windowed_distinct_stream(df, "ts", "user_id")
+    assert "approx_distinct" in out.columns

@@ -26,22 +26,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: distributed cuckoo+HLL build over sf0.001 documents —
-    per-partition vectorized build, two-level merge, broadcast
-    membership probe — returning a one-row summary."""
+    """Flagship: ONE-PASS composite sketch build over sf0.001 documents
+    (cuckoo+Bloom+HLL on text, CMS on tokens, KLL on page sizes; zero
+    input shuffle — sketchlib.spark.webbuild), then a broadcast
+    membership probe. Returns a one-row summary."""
     from sketchlib import CuckooConfig, CuckooFilter
-    from sketchlib.sketches import HyperLogLog
-    from sketchlib.spark import build_sketches, membership_udf, salted_repartition, tree_merge
+    from sketchlib.sketches import BloomFilter, CountMinSketch, HyperLogLog, KLLSketch
+    from sketchlib.spark import membership_udf
+    from sketchlib.spark.webbuild import build_web_sketches, merge_web_sketches
 
     docs = _t(spark, SF001, "documents")
     n_docs = docs.count()
-    keyed = salted_repartition(
-        docs.select(F.col("text").alias("key")), 8, row_key="key"
-    )
     cfg = CuckooConfig(capacity=max(n_docs * 2, 1024), fingerprint_bits=16, hash_strategy="xx")
-    cuckoo = tree_merge(build_sketches(keyed, "key", lambda: CuckooFilter(cfg)))
-    hll = tree_merge(build_sketches(keyed, "key", lambda: HyperLogLog(precision=14)))
-    member = membership_udf(spark, cuckoo)
+    merged = merge_web_sketches(
+        build_web_sketches(
+            docs,
+            {
+                "cuckoo": lambda: CuckooFilter(cfg),
+                "bloom": lambda: BloomFilter(capacity=max(n_docs, 64), fp_rate=0.001),
+                "hll": lambda: HyperLogLog(precision=14),
+                "cms": lambda: CountMinSketch(width=4096, depth=4),
+                "kll": lambda: KLLSketch(200),
+            },
+            url_col="text",  # membership keyed by text (dedup semantics)
+        )
+    )
+    member = membership_udf(spark, merged["cuckoo"])
     hits = (
         docs.select(F.col("text").alias("key"))
         .distinct()
@@ -55,16 +65,67 @@ def entry(spark: SparkSession) -> DataFrame:
             (
                 n_docs,
                 distinct_exact,
-                float(hll.estimate()),
+                float(merged["hll"].estimate()),
                 int(hits),
                 bool(hits == distinct_exact),
+                float(merged["kll"].quantile(0.5)[0]),
             )
         ],
-        "n_docs long, distinct_text long, hll_estimate double, members_found long, no_false_negatives boolean",
+        "n_docs long, distinct_text long, hll_estimate double, members_found long, "
+        "no_false_negatives boolean, median_page_size double",
     )
 
 
 # --------------------------------------------------------------------- sketch queries
+
+
+def q_web_sketch_family(spark, sf_dir):
+    """Flagship one-pass composite build (SURVEY §3.4): cuckoo+Bloom+HLL
+    on text, CMS on tokens, KLL on page sizes, zero input shuffle.
+    Exact columns (n_docs, distinct estimate check, membership) are
+    SQL-verifiable; sketch-bound booleans asserted in-query."""
+    from sketchlib import CuckooConfig, CuckooFilter
+    from sketchlib.sketches import BloomFilter, CountMinSketch, HyperLogLog, KLLSketch
+    from sketchlib.spark import membership_udf
+    from sketchlib.spark.webbuild import build_web_sketches, merge_web_sketches
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    cfg = CuckooConfig(capacity=max(n_docs * 2, 1024), fingerprint_bits=16, hash_strategy="xx")
+    merged = merge_web_sketches(
+        build_web_sketches(
+            docs,
+            {
+                "cuckoo": lambda: CuckooFilter(cfg),
+                "bloom": lambda: BloomFilter(capacity=max(n_docs, 64), fp_rate=0.001),
+                "hll": lambda: HyperLogLog(precision=14),
+                "cms": lambda: CountMinSketch(width=1 << 14, depth=4),
+                "kll": lambda: KLLSketch(200),
+            },
+            url_col="text",
+        )
+    )
+    member = membership_udf(spark, merged["cuckoo"])
+    texts = docs.select(F.col("text").alias("key")).distinct()
+    hits = texts.withColumn("m", member("key")).where("m").count()
+    distinct_exact = texts.count()
+    hll_ok = abs(merged["hll"].estimate() - distinct_exact) / max(distinct_exact, 1) <= 3 * merged[
+        "hll"
+    ].std_error()
+    kll_n_ok = merged["kll"].n == n_docs
+    return spark.createDataFrame(
+        [
+            (
+                n_docs,
+                distinct_exact,
+                bool(hits == distinct_exact),
+                bool(hll_ok),
+                bool(kll_n_ok),
+            )
+        ],
+        "n_docs long, distinct_text long, no_false_negatives boolean, "
+        "hll_within_bound boolean, kll_saw_all_rows boolean",
+    )
 
 
 def q_cuckoo_membership(spark, sf_dir):
@@ -419,6 +480,7 @@ def q_multimodal_decode(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "web_sketch_family": q_web_sketch_family,
         "cuckoo_membership": q_cuckoo_membership,
         "cuckoo_delete": q_cuckoo_delete,
         "cuckoo_count": q_cuckoo_count,
@@ -478,6 +540,11 @@ def oracle_sql() -> dict[str, str]:
     # token = non-whitespace run (\S+), matching sketchlib.spark.text.token_count
     tok = "len(regexp_extract_all(coalesce(text,''), '\\S+'))"
     return {
+        "web_sketch_family": (
+            "SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS distinct_text, "
+            "TRUE AS no_false_negatives, TRUE AS hll_within_bound, "
+            "TRUE AS kll_saw_all_rows FROM documents"
+        ),
         "cuckoo_membership": "SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS key FROM orders",
         "cuckoo_delete": (
             "SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS key FROM lineitem "

@@ -84,8 +84,15 @@ def generate_documents(
     )
 
 
-def write_documents_parquet(path: str, n: int, seed: int = 42, **kw) -> str:
+def write_documents_parquet(
+    path: str, n: int, seed: int = 42, row_group_rows: int = 5000, **kw
+) -> str:
+    """Write with bounded row groups (~20 MB at default page sizes):
+    Spark's scan-split parallelism is per row group, so a single giant
+    row group serializes the whole build onto one task."""
     import pyarrow.parquet as pq
 
-    pq.write_table(generate_documents(n, seed=seed, **kw), path)
+    pq.write_table(
+        generate_documents(n, seed=seed, **kw), path, row_group_size=row_group_rows
+    )
     return path

@@ -41,6 +41,7 @@ def test_entry_runs(spark):
 @pytest.mark.parametrize(
     "name",
     [
+        "web_sketch_family",
         "cuckoo_membership",
         "bloom_membership",
         "pricing_summary",

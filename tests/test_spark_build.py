@@ -77,6 +77,46 @@ def test_kll_numeric_build(spark, docs_df):
     assert abs(rank - 0.5) <= 0.05
 
 
+# ------------------------------------------------------------ composite build
+
+
+def test_web_sketch_composite_build(spark, docs_df):
+    """One-pass build of the whole sketch family equals per-kind local
+    builds (same states where merge is exact)."""
+    from sketchlib.sketches import CountMinSketch, HyperLogLog, KLLSketch
+    from sketchlib.spark.webbuild import build_web_sketches, merge_web_sketches
+
+    cfg = _cfg(4096)
+    merged = merge_web_sketches(
+        build_web_sketches(
+            docs_df.repartition(4),
+            {
+                "cuckoo": lambda: CuckooFilter(cfg),
+                "hll": lambda: HyperLogLog(12),
+                "cms": lambda: CountMinSketch(width=1 << 14, depth=4),
+                "kll": lambda: KLLSketch(200),
+            },
+        )
+    )
+    rows = docs_df.select("url", "text").collect()
+    urls = [r.url for r in rows]
+    # cuckoo: every url a member, exact count
+    assert merged["cuckoo"].count() == 1000
+    assert merged["cuckoo"].lookup_batch(urls).all()
+    # hll: exact-state equality with a local build
+    local_hll = HyperLogLog(12)
+    local_hll.update(urls)
+    assert merged["hll"].to_bytes() == local_hll.to_bytes()
+    # cms: exact-state equality with a local token build
+    local_cms = CountMinSketch(width=1 << 14, depth=4)
+    all_tokens = [t for r in rows for t in r.text.split()]
+    local_cms.update(all_tokens)
+    assert (merged["cms"].counts == local_cms.counts).all()
+    assert merged["cms"].total == local_cms.total
+    # kll saw every page size
+    assert merged["kll"].n == 1000
+
+
 # --------------------------------------------------------------- broadcast UDFs
 
 

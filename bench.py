@@ -50,14 +50,15 @@ def make_session(cpus: str):
 
 
 def build_throughput(spark, docs_path: str, partitions: int, trials: int = 3) -> dict:
-    """Flagship one-pass 5-sketch build (webbuild): cuckoo + Bloom +
-    HLL over url, CMS over tokens, KLL over page sizes — zero input
-    shuffle, scan-partitioned. Reports best-of-N docs/sec (first trial
-    pays page-cache + Python-worker warmup, which a long-running
-    cluster job would amortize)."""
-    from sketchlib import CuckooConfig, CuckooFilter
-    from sketchlib.sketches import BloomFilter, CountMinSketch, HyperLogLog, KLLSketch
-    from sketchlib.spark.webbuild import build_web_sketches, merge_web_sketches
+    """Flagship two-job pipeline (webbuild.build_web_pipeline):
+    zero-shuffle fixed-size sketches (HLL/CMS/KLL) over scan partitions
+    + sharded cuckoo membership over a url-only shuffle. No heavy
+    column is ever shuffled; per-task state is constant in corpus size.
+    Reports best-of-N docs/sec (first trial pays page-cache +
+    Python-worker warmup that a long-lived cluster job amortizes)."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.webbuild import build_web_pipeline
 
     sz = os.path.getsize(docs_path)
     spark.conf.set(
@@ -65,32 +66,37 @@ def build_throughput(spark, docs_path: str, partitions: int, trials: int = 3) ->
     )
     docs = spark.read.parquet(docs_path)
     n = docs.count()  # warms the footer read; not part of the timed section
-    cfg = CuckooConfig(capacity=int(n * 1.1), fingerprint_bits=16, hash_strategy="xx")
-    factories = {
-        "cuckoo": lambda: CuckooFilter(cfg),
-        "bloom": lambda: BloomFilter(capacity=n, fp_rate=0.001),
-        "hll": lambda: HyperLogLog(14),
-        "cms": lambda: CountMinSketch(width=1 << 16, depth=4),
-        "kll": lambda: KLLSketch(200),
-    }
+    num_shards = 64
     times = []
-    merged = None
+    fixed = shard_rows = None
     for _ in range(trials):
         t0 = time.perf_counter()
-        merged = merge_web_sketches(build_web_sketches(docs, factories))
+        fixed, shard_rows = build_web_pipeline(docs, n, num_shards=num_shards)
         times.append(time.perf_counter() - t0)
     best = min(times)
-    cuckoo, hll = merged["cuckoo"], merged["hll"]
+
+    # accuracy gates on the build outputs (BASELINE.md targets)
+    from sketchlib.spark.shard import SHARD_SCHEMA, probe_sharded
+
+    total_items = sum(r.item_count for r in shard_rows)
+    fails = sum(r.fail_count for r in shard_rows)
+    built = spark.createDataFrame(shard_rows, SHARD_SCHEMA)
+    n_probe = 100_000
+    absent = spark.range(n_probe).select(
+        F.concat(F.lit("https://absent-"), F.col("id"), F.lit(".example.net/x")).alias("key")
+    )
+    hits = probe_sharded(absent, "key", built, num_shards).where("member").count()
     return {
         "rows": n,
-        "sketches": sorted(factories),
+        "pipeline": "hll+cms+kll scan-partitioned / cuckoo sharded x" + str(num_shards),
         "build_sec_best": round(best, 3),
         "build_sec_all": [round(t, 3) for t in times],
         "docs_per_sec": round(n / best),
-        "cuckoo_count": cuckoo.count(),
-        "cuckoo_fail": cuckoo.insert_failures,
-        "cuckoo_load_factor": round(cuckoo.load_factor(), 4),
-        "hll_rel_err": round(abs(hll.estimate() - n) / n, 5),
+        "cuckoo_count": int(total_items),
+        "cuckoo_fail": int(fails),
+        "measured_fpr": round(hits / n_probe, 6),
+        "fpr_bound": round(2 * 4 / (1 << 16), 6),
+        "hll_rel_err": round(abs(fixed["hll"].estimate() - n) / n, 5),
     }
 
 

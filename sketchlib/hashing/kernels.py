@@ -83,10 +83,16 @@ def _xxvariant64_chunk(mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
 
     8-byte LE words get the (P2, rot31, P1) mix + (rot27·P1+P4) fold;
     tail bytes get the (P5, rot11, P1) mix; then the standard avalanche.
+
+    ``lens`` MUST be non-increasing (hash64_batch sorts). That makes
+    every data-dependent step a PREFIX slice: the per-word active set,
+    the equal-word-count groups (contiguous runs), and — within a
+    group — the per-tail-byte active set (tail lengths are descending
+    there too). No boolean masks, no fancy gathers.
     """
     n, width = mat.shape
     words = mat.view("<u8").reshape(n, width // 8)
-    nwords = (lens // 8).astype(np.int64)
+    nwords = (lens // 8).astype(np.int64)  # non-increasing
     h = _P5 + lens.astype(U64)
     word_counts = n - np.searchsorted(np.sort(nwords), np.arange(words.shape[1]), side="right")
     with np.errstate(**_MASKING):
@@ -98,15 +104,24 @@ def _xxvariant64_chunk(mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
             k = _rotl(k, 31) * _P1
             h[:a] ^= k
             h[:a] = _rotl(h[:a], 27) * _P1 + _P4
-        tail_len = lens - nwords * 8
-        max_tail = int(tail_len.max()) if n else 0
-        for t in range(max_tail):
-            sel = np.nonzero(tail_len > t)[0]
-            if sel.size == 0:
-                break
-            byte = mat[sel, nwords[sel] * 8 + t].astype(U64)
-            h[sel] ^= byte * _P5
-            h[sel] = _rotl(h[sel], 11) * _P1
+        # tail: group rows by word count (contiguous runs); tail bytes of
+        # a group live in columns nw*8 .. nw*8+7 of the padded matrix
+        neg = -nwords
+        group_vals = np.unique(neg)
+        for gv in group_vals:
+            a = int(np.searchsorted(neg, gv, side="left"))
+            b = int(np.searchsorted(neg, gv, side="right"))
+            nw = int(-gv)
+            tl = lens[a:b] - nw * 8  # descending within the run
+            max_t = int(tl[0]) if b > a else 0
+            for t in range(max_t):
+                c = int(np.searchsorted(-tl, -(t + 1), side="right"))
+                if c == 0:
+                    break
+                sl = slice(a, a + c)
+                byte = mat[sl, nw * 8 + t].astype(U64)
+                h[sl] ^= byte * _P5
+                h[sl] = _rotl(h[sl], 11) * _P1
         h ^= h >> U64(33)
         h *= _P2
         h ^= h >> U64(29)
@@ -138,7 +153,13 @@ def hash64_batch(values, strategy: str, max_cells: int = 1 << 26) -> np.ndarray:
     lens0 = np.diff(
         np.frombuffer(arr.buffers()[1], np.int64)[arr.offset : arr.offset + n + 1]
     )
-    order = np.argsort(-lens0, kind="stable")
+    # descending-length order; uint16 keys hit numpy's 2-pass radix sort
+    # (~4x faster than int64) whenever the length range allows
+    maxv = int(lens0.max()) if n else 0
+    if maxv < (1 << 16):
+        order = np.argsort((maxv - lens0).astype(np.uint16), kind="stable")
+    else:
+        order = np.argsort(-lens0, kind="stable")
     sorted_arr = arr.take(pa.array(order))
     lens, data = to_offsets(sorted_arr)
     starts = np.concatenate(([0], np.cumsum(lens)))

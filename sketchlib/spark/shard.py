@@ -38,17 +38,31 @@ def _shard_col(key_col: str, num_shards: int):
 
 
 def build_sharded(
-    df: DataFrame, key_col: str, num_shards: int, cfg: CuckooConfig
+    df: DataFrame,
+    key_col: str,
+    num_shards: int,
+    cfg: CuckooConfig | None = None,
+    factory=None,
 ) -> DataFrame:
-    """→ one row per shard (SHARD_SCHEMA). Exactly one task per shard."""
-    shard_cfg = CuckooConfig(
-        capacity=max(cfg.capacity // num_shards, 64),
-        bucket_size=cfg.bucket_size,
-        fingerprint_bits=cfg.fingerprint_bits,
-        max_kicks=cfg.max_kicks,
-        hash_strategy=cfg.hash_strategy,
-        seed=cfg.seed,
-    )
+    """→ one row per shard (SHARD_SCHEMA). Exactly one task per shard.
+
+    ``factory``: optional zero-arg callable building the per-shard
+    sketch (any membership sketch with update/lookup_batch-or-contains);
+    default builds a CuckooFilter with capacity/num_shards geometry —
+    total state across shards stays ~capacity × 2 bytes regardless of
+    shard count, the property that makes this the 10^12-key path."""
+    if factory is None:
+        if cfg is None:
+            raise ValueError("need cfg or factory")
+        shard_cfg = CuckooConfig(
+            capacity=max(cfg.capacity // num_shards, 64),
+            bucket_size=cfg.bucket_size,
+            fingerprint_bits=cfg.fingerprint_bits,
+            max_kicks=cfg.max_kicks,
+            hash_strategy=cfg.hash_strategy,
+            seed=cfg.seed,
+        )
+        factory = lambda: CuckooFilter(shard_cfg)  # noqa: E731
     keyed = df.select(F.col(key_col).alias("key")).withColumn(
         "shard_id", _shard_col("key", num_shards)
     )
@@ -66,7 +80,7 @@ def build_sharded(
 
             for sid in np.unique(shards):
                 mask = shards == sid
-                f = filters.setdefault(int(sid), CuckooFilter(shard_cfg))
+                f = filters.setdefault(int(sid), factory())
                 f.insert_batch(keys.filter(pa.array(mask)))
                 counts[int(sid)] = counts.get(int(sid), 0) + int(mask.sum())
         out_schema = pa.schema(
@@ -84,9 +98,9 @@ def build_sharded(
                 {
                     "shard_id": [sid],
                     "n_rows": [counts[sid]],
-                    "item_count": [f.num_items],
-                    "fail_count": [f.insert_failures],
-                    "load_factor": [f.load_factor()],
+                    "item_count": [int(getattr(f, "num_items", 0))],
+                    "fail_count": [int(getattr(f, "insert_failures", 0))],
+                    "load_factor": [float(f.load_factor()) if hasattr(f, "load_factor") else 0.0],
                     "state": [f.to_bytes()],
                 },
                 schema=out_schema,
@@ -110,8 +124,9 @@ def probe_sharded(
 
     def lookup(pdf: pd.DataFrame) -> pd.DataFrame:
         f = loads(pdf["state"].iloc[0])
+        fn = getattr(f, "lookup_batch", None) or f.contains
         out = pdf.drop(columns=["state"])
-        out["member"] = f.lookup_batch(pdf[key_col])
+        out["member"] = fn(pdf[key_col])
         return out
 
     out_schema = ", ".join(

@@ -149,3 +149,62 @@ def merge_web_sketches(sketch_df) -> dict[str, object]:
         .collect()
     )
     return {r.sketch: loads(r.state) for r in rows}
+
+
+def build_web_pipeline(
+    docs_df,
+    n_docs: int,
+    num_shards: int = 64,
+    cms_width: int = 1 << 14,
+    fingerprint_bits: int = 16,
+):
+    """The 100 TB-shaped flagship: two jobs, neither shuffles a heavy
+    column.
+
+    Job A — fixed-size sketches (HLL distinct urls, CMS token
+    frequencies, KLL + t-digest page sizes) built on the SCAN partitions
+    with zero shuffle; per-partition state is KBs–1 MB independent of
+    corpus size, so partition count can track core count freely.
+
+    Job B — membership (cuckoo) built SHARDED: project url only
+    (~tens of bytes/row), shuffle by pmod(xxhash64(url), shards), one
+    capacity/shards filter per shard. Total filter state is
+    capacity × 2 bytes regardless of shard or partition count, and
+    probes route by the same hash — no global merge ever materializes.
+
+    The two jobs are independent, so they are submitted CONCURRENTLY
+    (two driver threads; Spark's scheduler interleaves their tasks) —
+    job B's url shuffle overlaps job A's CPU-bound token hashing.
+
+    Returns (fixed_sketches: dict, shard_rows: list[Row[SHARD_SCHEMA]]).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..config import CuckooConfig
+    from ..sketches import CountMinSketch, HyperLogLog, KLLSketch
+    from .shard import build_sharded
+
+    cfg = CuckooConfig(
+        capacity=max(int(n_docs * 1.1), 1024),
+        fingerprint_bits=fingerprint_bits,
+        hash_strategy="xx",
+    )
+
+    def job_a():
+        return merge_web_sketches(
+            build_web_sketches(
+                docs_df,
+                {
+                    "hll": lambda: HyperLogLog(14),
+                    "cms": lambda: CountMinSketch(width=cms_width, depth=4),
+                    "kll": lambda: KLLSketch(200),
+                },
+            )
+        )
+
+    def job_b():
+        return build_sharded(docs_df.select("url"), "url", num_shards, cfg=cfg).collect()
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fa, fb = ex.submit(job_a), ex.submit(job_b)
+        return fa.result(), fb.result()

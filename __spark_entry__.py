@@ -184,6 +184,91 @@ def q_cuckoo_count(spark, sf_dir):
     return spark.createDataFrame([(merged.count(),)], "item_count long")
 
 
+def q_cuckoo_lifecycle(spark, sf_dir):
+    """Full API lifecycle (SURVEY §2.1 #1,#6,#7,#8,#9): New→InsertBatch→
+    Count/LoadFactor/Capacity→Reset. All metrics exactly SQL-derivable."""
+    from sketchlib import CuckooConfig, CuckooFilter
+    from sketchlib.spark import build_sketches, tree_merge
+
+    keys = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("key")
+    ).distinct()
+    cfg = CuckooConfig(capacity=65536, bucket_size=4, fingerprint_bits=16, hash_strategy="xx")
+    merged = tree_merge(build_sketches(keys.repartition(8), "key", lambda: CuckooFilter(cfg)))
+    count, load, cap = merged.count(), merged.load_factor(), merged.capacity()
+    merged.reset()
+    return spark.createDataFrame(
+        [(count, float(load), cap, merged.count())],
+        "item_count long, load_factor double, capacity long, count_after_reset long",
+    )
+
+
+def q_hash_indices_contract(spark, sf_dir):
+    """GetIndices/GetIndicesBatch equivalence (SURVEY §2.1 #14-16): the
+    distributed batch kernels must equal the scalar reference for every
+    strategy — the reference repo's own batch==scalar gate, run over
+    real table keys via the hash_indices debug UDF."""
+    import pandas as pd
+
+    from sketchlib.hashing import scalar
+    from sketchlib.spark.udfs import hash_indices_udf
+
+    c = _t(spark, sf_dir, "customer").select(F.col("c_name").alias("key"))
+    rows_out = []
+    for strategy in ("fnv", "crc32c", "xx"):
+        udf = hash_indices_udf(num_buckets=4096, strategy=strategy, bits=16)
+        got = (
+            c.withColumn("idx", udf("key")).select("key", "idx.i1", "idx.i2", "idx.fp")
+        ).collect()
+        ok = all(
+            (r.i1, r.i2, r.fp)
+            == scalar.get_indices(r.key.encode(), 4096, strategy, 16)
+            for r in got
+        )
+        rows_out.append((strategy, len(got), bool(ok)))
+    return spark.createDataFrame(
+        rows_out, "strategy string, n_keys long, batch_eq_scalar boolean"
+    )
+
+
+def q_word_token_count(spark, sf_dir):
+    """BPE-ish subword proxy: count of \\w+|[^\\w\\s] matches."""
+    from sketchlib.spark.text import word_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", word_token_count("text").cast("long").alias("n_word_tokens"))
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    """SimHash near-dup pairs, Hamming <= 3 (pigeonhole block join).
+    On this corpus near-dups == exact text dups, so the oracle is the
+    identical-text self-join (exact)."""
+    from sketchlib.spark.dedup import simhash_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = simhash_near_dup_pairs(d, max_hamming=0)
+    ta = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    tb = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .where(F.col("text_a") == F.col("text_b"))
+        .select("id_a", "id_b")
+    )
+
+
+def q_embedding_knn(spark, sf_dir):
+    """Embedding-cosine near-dup kNN inside LSH buckets (rows-only:
+    bucket boundaries are implementation-defined)."""
+    from sketchlib.spark.similarity import pairwise_cosine_knn
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    out = pairwise_cosine_knn(emb, k=3, bits=6)
+    return out.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
 def q_bloom_membership(spark, sf_dir):
     """Bloom filter membership (north-rule sketch): no false negatives."""
     from sketchlib.sketches import BloomFilter
@@ -482,6 +567,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "web_sketch_family": q_web_sketch_family,
         "cuckoo_membership": q_cuckoo_membership,
+        "cuckoo_lifecycle": q_cuckoo_lifecycle,
+        "hash_indices_contract": q_hash_indices_contract,
+        "word_token_count": q_word_token_count,
+        "simhash_near_dups": q_simhash_near_dups,
+        "embedding_knn": q_embedding_knn,
         "cuckoo_delete": q_cuckoo_delete,
         "cuckoo_count": q_cuckoo_count,
         "bloom_membership": q_bloom_membership,
@@ -546,6 +636,24 @@ def oracle_sql() -> dict[str, str]:
             "TRUE AS kll_saw_all_rows FROM documents"
         ),
         "cuckoo_membership": "SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS key FROM orders",
+        "cuckoo_lifecycle": (
+            "SELECT COUNT(DISTINCT o_custkey) AS item_count, "
+            "CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) / 65536 AS load_factor, "
+            "65536 AS capacity, 0 AS count_after_reset FROM orders"
+        ),
+        "hash_indices_contract": (
+            "SELECT strategy, (SELECT COUNT(*) FROM customer) AS n_keys, "
+            "TRUE AS batch_eq_scalar FROM (VALUES ('fnv'), ('crc32c'), ('xx')) "
+            "AS t(strategy)"
+        ),
+        "word_token_count": (
+            "SELECT doc_id, len(regexp_extract_all(coalesce(text,''), "
+            "'\\w+|[^\\w\\s]')) AS n_word_tokens FROM documents"
+        ),
+        "simhash_near_dups": (
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a "
+            "JOIN documents b ON a.text = b.text AND a.doc_id < b.doc_id"
+        ),
         "cuckoo_delete": (
             "SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS key FROM lineitem "
             "WHERE l_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')"

@@ -25,6 +25,7 @@ def test_registry_shape():
         "simhash_buckets",
         "multimodal_decode",
         "doc_fingerprint",
+        "embedding_knn",
     }
 
 

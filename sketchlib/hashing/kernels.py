@@ -95,15 +95,31 @@ def _xxvariant64_chunk(mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
     nwords = (lens // 8).astype(np.int64)  # non-increasing
     h = _P5 + lens.astype(U64)
     word_counts = n - np.searchsorted(np.sort(nwords), np.arange(words.shape[1]), side="right")
+    scratch = np.empty(n, U64)
+    tmp = np.empty(n, U64)
     with np.errstate(**_MASKING):
         for w in range(words.shape[1]):
             a = word_counts[w]
             if a == 0:
                 break
-            k = words[:a, w] * _P2
-            k = _rotl(k, 31) * _P1
-            h[:a] ^= k
-            h[:a] = _rotl(h[:a], 27) * _P1 + _P4
+            # fused k = rotl(word*P2, 31) * P1 using preallocated scratch
+            # (every avoided temporary is a full pass of memory traffic —
+            # this loop is bandwidth-bound when 32 workers run at once)
+            k = scratch[:a]
+            t = tmp[:a]
+            np.multiply(words[:a, w], _P2, out=k)
+            np.left_shift(k, U64(31), out=t)
+            np.right_shift(k, U64(33), out=k)
+            np.bitwise_or(k, t, out=k)
+            np.multiply(k, _P1, out=k)
+            hh = h[:a]
+            np.bitwise_xor(hh, k, out=hh)
+            # h = rotl(h, 27) * P1 + P4
+            np.left_shift(hh, U64(27), out=t)
+            np.right_shift(hh, U64(37), out=hh)
+            np.bitwise_or(hh, t, out=hh)
+            np.multiply(hh, _P1, out=hh)
+            np.add(hh, _P4, out=hh)
         # tail: group rows by word count (contiguous runs); tail bytes of
         # a group live in columns nw*8 .. nw*8+7 of the padded matrix
         neg = -nwords
@@ -122,11 +138,15 @@ def _xxvariant64_chunk(mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
                 byte = mat[sl, nw * 8 + t].astype(U64)
                 h[sl] ^= byte * _P5
                 h[sl] = _rotl(h[sl], 11) * _P1
-        h ^= h >> U64(33)
-        h *= _P2
-        h ^= h >> U64(29)
-        h *= _P3
-        h ^= h >> U64(32)
+        # avalanche, fused in place
+        np.right_shift(h, U64(33), out=scratch)
+        np.bitwise_xor(h, scratch, out=h)
+        np.multiply(h, _P2, out=h)
+        np.right_shift(h, U64(29), out=scratch)
+        np.bitwise_xor(h, scratch, out=h)
+        np.multiply(h, _P3, out=h)
+        np.right_shift(h, U64(32), out=scratch)
+        np.bitwise_xor(h, scratch, out=h)
     return h
 
 

@@ -88,15 +88,26 @@ def build_web_sketches(
 
                 sizes = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.float64)
             if token_set:
-                # C++ whitespace tokenizer (same semantics as str.split())
+                # C++ whitespace tokenizer (same semantics as str.split()),
+                # then batch-local pre-aggregation: value_counts collapses
+                # the Zipf-distributed token stream to its (much smaller)
+                # vocabulary before any Python-side hashing — the map-side
+                # combine of this pipeline, and the difference between
+                # hashing 250M tokens and ~50k uniques per partition
                 toks = pa.compute.utf8_split_whitespace(texts)
                 flat = pa.compute.list_flatten(toks)
                 flat = flat.filter(pa.compute.not_equal(flat, ""))
+                vc = flat.value_counts()
+                tok_vals = vc.field("values")
+                tok_counts = vc.field("counts").to_numpy(zero_copy_only=False)
             for name, sk in sks.items():
                 if name in size_set:
                     sk.update(sizes)
                 elif name in token_set:
-                    sk.update(flat)
+                    try:
+                        sk.update(tok_vals, weights=tok_counts)
+                    except TypeError:  # sketch without weighted updates
+                        sk.update(flat)
                 else:
                     sk.update(urls)
         for name, sk in sks.items():

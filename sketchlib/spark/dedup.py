@@ -60,13 +60,16 @@ def _shingle_hashes(texts: pd.Series, k: int = 5) -> list[np.ndarray]:
     return [hashes[bounds[i] : bounds[i + 1]] for i in range(len(texts))]
 
 
-_MERSENNE = U64((1 << 61) - 1)
-
-
 def _minhash_sig(sh_hashes: np.ndarray, perms_a: np.ndarray, perms_b: np.ndarray) -> np.ndarray:
-    """num_perm minima of (a*h + b) mod p over the shingle set."""
+    """num_perm minima of the permuted shingle set.
+
+    Permutation family: h -> a*h + b mod 2^64 with a odd — a bijection
+    of the 64-bit keyspace (multiplicative group unit), no modulo in the
+    hot loop. (A '% Mersenne' after numpy's wrapping multiply would not
+    be a real Mersenne hash anyway, and u64 modulo is ~10x the cost of
+    the multiply.)"""
     with np.errstate(over="ignore"):
-        vals = (perms_a[:, None] * sh_hashes[None, :] + perms_b[:, None]) % _MERSENNE
+        vals = perms_a[:, None] * sh_hashes[None, :] + perms_b[:, None]
     return vals.min(axis=1)
 
 
@@ -77,9 +80,17 @@ def _minhash_sigs_batch(
     (num_perm, total_shingles) permute pass + per-doc segmented minima
     via np.minimum.reduceat — no per-doc Python."""
     starts = np.asarray(bounds[:-1], np.intp)
+    num_perm = len(perms_a)
+    out = np.empty((len(starts), num_perm), np.uint64)
+    # block the perm axis so the (block, n_shingles) temporary stays
+    # cache/stream sized instead of one multi-GB matrix per Arrow batch
+    block = max(1, min(num_perm, (1 << 24) // max(len(hashes), 1)))
     with np.errstate(over="ignore"):
-        vals = (perms_a[:, None] * hashes[None, :] + perms_b[:, None]) % _MERSENNE
-    return np.minimum.reduceat(vals, starts, axis=1).T
+        for p0 in range(0, num_perm, block):
+            p1 = min(p0 + block, num_perm)
+            vals = perms_a[p0:p1, None] * hashes[None, :] + perms_b[p0:p1, None]
+            out[:, p0:p1] = np.minimum.reduceat(vals, starts, axis=1).T
+    return out
 
 
 def minhash_signatures(
@@ -92,8 +103,8 @@ def minhash_signatures(
 ) -> DataFrame:
     """doc → array<bigint> MinHash signature (Broder resemblance)."""
     rng = np.random.Generator(np.random.PCG64(seed))
-    a = rng.integers(1, (1 << 61) - 1, num_perm, dtype=np.uint64)
-    b = rng.integers(0, (1 << 61) - 1, num_perm, dtype=np.uint64)
+    a = rng.integers(1, (1 << 63) - 1, num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, (1 << 63) - 1, num_perm, dtype=np.uint64)
 
     @F.pandas_udf("array<long>")
     def sig(texts: pd.Series) -> pd.Series:

@@ -37,7 +37,7 @@ def ensure_bench_docs() -> str:
         from sketchlib.datagen import write_documents_parquet
 
         tmp = DOCS_PARQUET + ".tmp"
-        write_documents_parquet(tmp, BENCH_DOCS, seed=7)
+        write_documents_parquet(tmp, BENCH_DOCS, seed=7, row_group_rows=1000)
         os.replace(tmp, DOCS_PARQUET)
     return DOCS_PARQUET
 

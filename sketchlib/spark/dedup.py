@@ -161,8 +161,13 @@ def minhash_dedup_pairs(
             out.append(key.astype(np.int64))
         return pd.Series(out)
 
-    banded = sigs.withColumn("band", F.explode(band_keys("minhash"))).select(
-        id_col, "minhash", "band"
+    # persist: both sides of the band self-join read this frame — without
+    # it the signature UDF recomputes per side (at warehouse scale you'd
+    # write signatures to a table here instead)
+    banded = (
+        sigs.withColumn("band", F.explode(band_keys("minhash")))
+        .select(id_col, "minhash", "band")
+        .persist()
     )
     left = banded.alias("a")
     right = banded.alias("b")
@@ -227,10 +232,13 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance ≤ max_hamming via the
     4-block pigeonhole trick: identical 16-bit block → candidate."""
+    # persist: the 4 block-joins each read both sides of this frame —
+    # 8 recomputations of the signature UDF without it
     sh = (
         df.select(id_col, text_col)
         .withColumn("simhash", simhash_udf()(F.col(text_col)))
         .drop(text_col)
+        .persist()
     )
     blocks = [
         ((F.shiftrightunsigned(F.col("simhash"), 16 * i)) % F.lit(1 << 16)).alias(f"b{i}")

@@ -269,6 +269,39 @@ def q_embedding_knn(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
 
 
+def q_per_source_distinct(spark, sf_dir):
+    """Per-group (per-source) HLL distinct via the SALTED two-stage
+    grouped build (north-rule skew handling): hot groups split into
+    salted subgroups, partial sketches merged per group. Estimates
+    asserted within 3σ in-query; exact distinct is the SQL oracle."""
+    from sketchlib.sketches import HyperLogLog
+    from sketchlib.spark.grouped import build_grouped_sketches, grouped_estimates
+
+    d = _t(spark, sf_dir, "documents")
+    grouped = build_grouped_sketches(
+        d, "source", "text", lambda: HyperLogLog(14), salt_buckets=8
+    )
+    est = grouped_estimates(grouped)
+    exact = d.groupBy(F.col("source").cast("string").alias("group_key")).agg(
+        F.countDistinct("text").alias("exact_distinct")
+    )
+    # 1.04/sqrt(m) is the asymptotic bound; micro-cardinalities use
+    # linear counting where one register collision shifts the estimate
+    # by ~1 — allow max(3σ·n, 2) absolute error
+    bound = 3 * HyperLogLog(14).std_error()
+    return (
+        est.join(exact, "group_key")
+        .select(
+            F.col("group_key").alias("source"),
+            "exact_distinct",
+            (
+                F.abs(F.col("estimate") - F.col("exact_distinct"))
+                <= F.greatest(F.col("exact_distinct") * F.lit(float(bound)), F.lit(2.0))
+            ).alias("within_bound"),
+        )
+    )
+
+
 def q_bloom_membership(spark, sf_dir):
     """Bloom filter membership (north-rule sketch): no false negatives."""
     from sketchlib.sketches import BloomFilter
@@ -565,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_sketch_family": q_web_sketch_family,
         "cuckoo_membership": q_cuckoo_membership,
         "cuckoo_lifecycle": q_cuckoo_lifecycle,
+        "per_source_distinct": q_per_source_distinct,
         "hash_indices_contract": q_hash_indices_contract,
         "word_token_count": q_word_token_count,
         "simhash_near_dups": q_simhash_near_dups,
@@ -637,6 +671,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COUNT(DISTINCT o_custkey) AS item_count, "
             "CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) / 65536 AS load_factor, "
             "65536 AS capacity, 0 AS count_after_reset FROM orders"
+        ),
+        "per_source_distinct": (
+            "SELECT CAST(source AS VARCHAR) AS source, "
+            "COUNT(DISTINCT text) AS exact_distinct, TRUE AS within_bound "
+            "FROM documents GROUP BY source"
         ),
         "hash_indices_contract": (
             "SELECT strategy, (SELECT COUNT(*) FROM customer) AS n_keys, "

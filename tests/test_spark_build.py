@@ -182,6 +182,50 @@ def test_salt_grouped_bounds_groups(spark, docs_df):
     assert top_salted <= top_sz / 8 * 2.5
 
 
+# -------------------------------------------------------------- grouped/salted
+
+
+def test_grouped_salted_equals_unsalted(spark, docs_df):
+    """Salted two-stage grouped build == per-group local build (exact
+    HLL register states), on the Zipf-skewed host column."""
+    from sketchlib.serde import loads
+    from sketchlib.sketches import HyperLogLog
+    from sketchlib.spark.grouped import build_grouped_sketches
+
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    d = docs_df.select(host.alias("host"), "url")
+    rows = build_grouped_sketches(
+        d, "host", "url", lambda: HyperLogLog(12), salt_buckets=4
+    ).collect()
+    got = {r.group_key: loads(r.state).to_bytes() for r in rows}
+    # local oracle per host
+    local = {}
+    for r in d.collect():
+        local.setdefault(r.host, []).append(r.url)
+    assert set(got) == set(local)
+    for h, urls in local.items():
+        sk = HyperLogLog(12)
+        sk.update(urls)
+        assert got[h] == sk.to_bytes(), h
+
+
+def test_grouped_estimates_within_bound(spark, docs_df):
+    from sketchlib.sketches import HyperLogLog
+    from sketchlib.spark.grouped import build_grouped_sketches, grouped_estimates
+
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    d = docs_df.select(host.alias("host"), "url")
+    est = grouped_estimates(
+        build_grouped_sketches(d, "host", "url", lambda: HyperLogLog(14))
+    ).collect()
+    exact = {
+        r.host: r.c
+        for r in d.groupBy("host").agg(F.countDistinct("url").alias("c")).collect()
+    }
+    for r in est:
+        assert abs(r.estimate - exact[r.group_key]) / max(exact[r.group_key], 1) <= 0.1
+
+
 # ------------------------------------------------------------ checkpoint/resume
 
 

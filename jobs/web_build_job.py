@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Production entry point: distributed web-sketch build via spark-submit.
+
+    zip -r sketchlib.zip sketchlib            # once, repo root
+    spark-submit --py-files sketchlib.zip jobs/web_build_job.py \
+        --input  /data/webpages_parquet       \
+        --output /data/sketch_out             \
+        --shards 256                          \
+        --checkpoint /data/sketch_ckpt        # optional: resumable
+
+On a cluster, add the usual --master/--num-executors flags; the job
+itself is shape-agnostic (the north rule's N vs 4N executors is purely
+a submit-time choice). The build is the two-job pipeline of
+sketchlib.spark.webbuild: fixed-size sketches fold on scan partitions
+(zero shuffle), membership shards build over a url-only shuffle.
+
+Outputs under --output:
+  shards/                parquet: the sharded cuckoo filter table
+                         (shard_id, n_rows, item_count, fail_count,
+                         load_factor, state)
+  fixed/<name>.bin       merged HLL / CMS / KLL states
+  metrics.json           row counts, load factors, estimates, timings
+
+Resume: with --checkpoint, each scan partition of the fixed-sketch job
+publishes its finished partial atomically; a rerun re-emits stored
+partials instead of recomputing (per-partition lineage,
+sketchlib.spark.checkpoint).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet dir of web pages")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--cms-width", type=int, default=1 << 16)
+    ap.add_argument("--fingerprint-bits", type=int, default=16)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("sketchlib-web-build").getOrCreate()
+
+    from sketchlib.config import CuckooConfig
+    from sketchlib.sketches import CountMinSketch, HyperLogLog, KLLSketch
+    from sketchlib.spark.build import build_sketches
+    from sketchlib.spark.checkpoint import mark_stage_done, stage_done
+    from sketchlib.spark.merge import tree_merge
+    from sketchlib.spark.shard import build_sharded
+    from sketchlib.spark.webbuild import build_web_sketches, merge_web_sketches
+
+    docs = spark.read.parquet(args.input)
+    n = docs.count()
+    t0 = time.time()
+
+    if args.checkpoint:
+        # checkpointed path: per-sketch builds with per-partition lineage
+        from pyspark.sql import functions as F
+
+        fixed = {
+            "hll": tree_merge(
+                build_sketches(
+                    docs.select("url"),
+                    "url",
+                    lambda: HyperLogLog(14),
+                    checkpoint_dir=os.path.join(args.checkpoint, "hll"),
+                )
+            ),
+            "kll": tree_merge(
+                build_sketches(
+                    docs.select(F.length("text").cast("double").alias("v")),
+                    "v",
+                    lambda: KLLSketch(200),
+                    checkpoint_dir=os.path.join(args.checkpoint, "kll"),
+                    numeric=True,
+                )
+            ),
+        }
+    else:
+        fixed = merge_web_sketches(
+            build_web_sketches(
+                docs,
+                {
+                    "hll": lambda: HyperLogLog(14),
+                    "cms": lambda: CountMinSketch(width=args.cms_width, depth=4),
+                    "kll": lambda: KLLSketch(200),
+                },
+            )
+        )
+
+    cfg = CuckooConfig(
+        capacity=max(int(n * 1.1), 1024),
+        fingerprint_bits=args.fingerprint_bits,
+        hash_strategy="xx",
+    )
+    shard_df = build_sharded(docs.select("url"), "url", args.shards, cfg=cfg)
+    shard_df.write.mode("overwrite").parquet(os.path.join(args.output, "shards"))
+    build_sec = time.time() - t0
+
+    shards = spark.read.parquet(os.path.join(args.output, "shards"))
+    agg = shards.groupBy().sum("n_rows", "item_count", "fail_count").first()
+
+    fixed_dir = os.path.join(args.output, "fixed")
+    os.makedirs(fixed_dir, exist_ok=True)
+    for name, sk in fixed.items():
+        with open(os.path.join(fixed_dir, f"{name}.bin"), "wb") as fh:
+            fh.write(sk.to_bytes())
+
+    metrics = {
+        "rows": n,
+        "build_sec": round(build_sec, 2),
+        "docs_per_sec": round(n / build_sec) if build_sec else None,
+        "shards": args.shards,
+        "shard_rows": int(agg["sum(n_rows)"]),
+        "cuckoo_items": int(agg["sum(item_count)"]),
+        "cuckoo_failures": int(agg["sum(fail_count)"]),
+        "hll_distinct_urls": round(fixed["hll"].estimate()) if "hll" in fixed else None,
+    }
+    with open(os.path.join(args.output, "metrics.json"), "w") as fh:
+        json.dump(metrics, fh, indent=2)
+    print(json.dumps(metrics))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -261,6 +261,26 @@ def test_incremental_builder_batches(spark, docs_df, tmp_path):
     assert abs(est - 1000) / 1000 <= 3 * b.current().std_error()
 
 
+def test_streaming_incremental_end_to_end(spark, docs_parquet, tmp_path):
+    """Real Structured Streaming run: file source -> foreachBatch
+    incremental HLL build -> availableNow trigger -> state on disk."""
+    from sketchlib.sketches import HyperLogLog
+    from sketchlib.streaming.incremental import IncrementalSketchBuilder
+
+    import shutil
+
+    (tmp_path / "in").mkdir()
+    shutil.copy(docs_parquet, tmp_path / "in" / "p0.parquet")
+    schema = spark.read.parquet(docs_parquet).schema
+    stream = spark.readStream.schema(schema).parquet(str(tmp_path / "in"))
+    state = str(tmp_path / "hll.bin")
+    b = IncrementalSketchBuilder(lambda: HyperLogLog(12), "url", state)
+    q = b.attach(stream.select("url"), str(tmp_path / "ckpt"), trigger_once=True)
+    q.awaitTermination(120)
+    est = b.current().estimate()
+    assert abs(est - 1000) / 1000 <= 3 * b.current().std_error()
+
+
 def test_windowed_distinct_stream_plan(spark):
     # plan-level check: the streaming agg builds without a real stream
     from sketchlib.streaming.incremental import windowed_distinct_stream

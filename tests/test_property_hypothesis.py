@@ -1,0 +1,117 @@
+"""Hypothesis property tests — randomized deepening of the fixed-vector
+suites: batch==scalar hashing on arbitrary byte strings, alt-index
+self-inversion, fingerprint non-zero, sketch merge properties, cuckoo
+insert/lookup roundtrips, serde stability.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from sketchlib import CuckooConfig, CuckooFilter
+from sketchlib.hashing import kernels, scalar
+from sketchlib.sketches import BloomFilter, CountMinSketch, HyperLogLog
+
+BYTES = st.binary(min_size=0, max_size=200)
+STRATEGY = st.sampled_from(["fnv", "crc32c", "xx"])
+
+
+@settings(max_examples=30, deadline=None)
+@given(items=st.lists(BYTES, min_size=1, max_size=64), strategy=STRATEGY)
+def test_batch_equals_scalar_random(items, strategy):
+    got = kernels.hash64_batch(items, strategy)
+    want = [scalar.hash64(v, strategy) for v in items]
+    assert [int(x) for x in got] == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    idx=st.integers(0, 4095),
+    fp=st.integers(1, (1 << 16) - 1),
+    strategy=STRATEGY,
+    bits=st.sampled_from([4, 8, 12, 16]),
+)
+def test_alt_index_self_inverse_random(idx, fp, strategy, bits):
+    n = 4096
+    fp = fp & ((1 << bits) - 1) or 1
+    i = np.array([idx], np.uint64)
+    f = np.array([fp], np.uint16)
+    i2 = kernels.alt_index_batch(i, f, n, strategy, bits)
+    back = kernels.alt_index_batch(i2, f, n, strategy, bits)
+    assert int(back[0]) == idx
+
+
+@settings(max_examples=20, deadline=None)
+@given(h=st.integers(0, (1 << 64) - 1), bits=st.integers(1, 16), strategy=STRATEGY)
+def test_fingerprint_nonzero_random(h, bits, strategy):
+    fp = kernels.fingerprint_batch(np.array([h], np.uint64), bits, strategy)
+    assert 1 <= int(fp[0]) < (1 << bits) or int(fp[0]) == 1
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    keys=st.lists(st.text(min_size=0, max_size=30), min_size=1, max_size=200),
+    splits=st.integers(2, 5),
+)
+def test_cuckoo_split_build_no_false_negatives(keys, splits):
+    cfg = CuckooConfig(capacity=max(len(keys) * 4, 64), fingerprint_bits=16, hash_strategy="xx")
+    parts = [CuckooFilter(cfg) for _ in range(splits)]
+    for i, k in enumerate(keys):
+        parts[i % splits].insert(k)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged.merge(p)
+    assert merged.lookup_batch(keys).all()
+    assert merged.count() == len(keys)
+
+
+@settings(max_examples=15, deadline=None)
+@given(data=st.lists(st.text(max_size=20), min_size=0, max_size=300))
+def test_hll_merge_equals_single_random(data):
+    whole = HyperLogLog(10)
+    whole.update(data) if data else None
+    a, b = HyperLogLog(10), HyperLogLog(10)
+    if data:
+        a.update(data[0::2] or ["x"])
+        if data[1::2]:
+            b.update(data[1::2])
+    a.merge(b)
+    if data:
+        assert (a.registers >= 0).all()
+        whole_bytes = whole.to_bytes()
+        assert a.to_bytes() == whole_bytes
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    data=st.lists(st.text(min_size=1, max_size=10), min_size=1, max_size=200),
+)
+def test_cms_never_undercounts_random(data):
+    s = CountMinSketch(width=256, depth=4)
+    s.update(data)
+    from collections import Counter
+
+    true = Counter(data)
+    est = s.estimate(list(true))
+    for k, e in zip(true, est):
+        assert e >= true[k]
+
+
+@settings(max_examples=15, deadline=None)
+@given(keys=st.lists(st.binary(min_size=1, max_size=40), min_size=1, max_size=150))
+def test_bloom_no_false_negatives_random(keys):
+    f = BloomFilter(capacity=max(len(keys), 8), fp_rate=0.01)
+    f.update(keys)
+    assert f.contains(keys).all()
+
+
+@settings(max_examples=10, deadline=None)
+@given(keys=st.lists(st.text(min_size=1, max_size=20), min_size=1, max_size=100))
+def test_cuckoo_serde_roundtrip_random(keys):
+    cfg = CuckooConfig(capacity=max(len(keys) * 2, 64), fingerprint_bits=12)
+    f = CuckooFilter(cfg)
+    f.insert_batch(keys)
+    g = CuckooFilter.from_bytes(f.to_bytes())
+    assert (g.table == f.table).all()
+    assert g.lookup_batch(keys).sum() == f.lookup_batch(keys).sum()

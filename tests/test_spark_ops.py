@@ -281,6 +281,55 @@ def test_streaming_incremental_end_to_end(spark, docs_parquet, tmp_path):
     assert abs(est - 1000) / 1000 <= 3 * b.current().std_error()
 
 
+def test_stateful_hll_by_key_stream(spark, docs_parquet, tmp_path):
+    """applyInPandasWithState: per-key running HLL over a 2-micro-batch
+    stream; state persists across batches (final estimate ~= per-lang
+    distinct urls)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sketchlib.sketches import HyperLogLog
+    from sketchlib.streaming.stateful import hll_distinct_by_key
+
+    src = tmp_path / "in2"
+    src.mkdir()
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    full = spark.read.parquet(docs_parquet)
+    full.where(F.pmod(F.xxhash64("url"), F.lit(2)) == 0).write.parquet(str(src / "a"))
+    full.where(F.pmod(F.xxhash64("url"), F.lit(2)) == 1).write.parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+        .select("lang", "url")
+    )
+    out = hll_distinct_by_key(stream.groupBy("lang"), lambda: HyperLogLog(12))
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hll_by_lang")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT key, max(n_rows) AS n, max(estimate) AS est FROM hll_by_lang GROUP BY key"
+    ).collect()
+    got = {r.key: (r.n, r.est) for r in rows}
+    exact = {
+        r.lang: r.c
+        for r in full.groupBy("lang").agg(F.countDistinct("url").alias("c")).collect()
+    }
+    assert set(got) == set(exact)
+    for lang, (n, est) in got.items():
+        # state crossed micro-batches: final n == all rows of that lang
+        assert n == full.where(F.col("lang") == lang).count()
+        assert abs(est - exact[lang]) / max(exact[lang], 1) <= 0.15
+
+
 def test_windowed_distinct_stream_plan(spark):
     # plan-level check: the streaming agg builds without a real stream
     from sketchlib.streaming.incremental import windowed_distinct_stream

@@ -574,6 +574,22 @@ def q_ann_lsh_recall(spark, sf_dir):
     return spark.createDataFrame([(float(recall),)], "recall_at_10 double")
 
 
+def q_ann_ivf_recall(spark, sf_dir):
+    """IVF-cell ANN vs brute force: recall@10 (rows-only check)."""
+    from sketchlib.spark.similarity import cosine_topk_bruteforce, cosine_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    qv = list(emb.where("vec_id = 0").select("embedding").first()[0])
+    exact = {r.vec_id for r in cosine_topk_bruteforce(emb, qv, 10).collect()}
+    approx = {
+        r.vec_id for r in cosine_topk_ivf(emb, qv, 10, n_cells=16, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / 10.0
+    return spark.createDataFrame([(float(recall),)], "recall_at_10 double")
+
+
 def q_simhash_buckets(spark, sf_dir):
     """SimHash signatures (rows-only: deterministic but non-SQL)."""
     from sketchlib.spark.dedup import simhash_udf
@@ -626,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_recall": q_ann_lsh_recall,
+        "ann_ivf_recall": q_ann_ivf_recall,
         "simhash_buckets": q_simhash_buckets,
         "multimodal_decode": q_multimodal_decode,
     }

@@ -22,6 +22,7 @@ def test_registry_shape():
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
         "ann_lsh_recall",
+        "ann_ivf_recall",
         "simhash_buckets",
         "multimodal_decode",
         "doc_fingerprint",

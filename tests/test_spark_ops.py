@@ -199,6 +199,32 @@ def test_cosine_topk_lsh_recall(spark, emb_df):
     assert len(exact & approx) / 10 >= 0.5
 
 
+def test_cosine_topk_ivf_recall(spark, emb_df):
+    from sketchlib.spark.similarity import cosine_topk_bruteforce, cosine_topk_ivf
+
+    q = list(emb_df.where("vec_id = 0").first().embedding)
+    exact = {r.vec_id for r in cosine_topk_bruteforce(emb_df, q, 10).collect()}
+    approx = {
+        r.vec_id
+        for r in cosine_topk_ivf(emb_df, q, 10, n_cells=8, nprobe=3).collect()
+    }
+    assert len(exact & approx) / 10 >= 0.5
+    # query vector itself always found (it sits in the nearest cell)
+    assert 0 in approx
+
+
+def test_ivf_assignment_partitions_all_rows(spark, emb_df):
+    from sketchlib.spark.similarity import ivf_assign_udf, ivf_train_centroids
+    from pyspark.sql import functions as F
+
+    cent = ivf_train_centroids(emb_df, k=8)
+    assert cent.shape[1] == 16
+    assign = ivf_assign_udf(cent)
+    cells = emb_df.withColumn("cell", assign(F.col("embedding")))
+    assert cells.where("cell IS NULL OR cell < 0 OR cell >= 8").count() == 0
+    assert cells.select("cell").distinct().count() > 1
+
+
 def test_pairwise_knn_shape(spark, emb_df):
     from sketchlib.spark.similarity import pairwise_cosine_knn
 

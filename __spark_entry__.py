@@ -333,6 +333,26 @@ def q_sharded_membership(spark, sf_dir):
     return probe_sharded(keys, "key", shards, num_shards=8).select("key", "member")
 
 
+def q_sharded_delete(spark, sf_dir):
+    """Distributed delete on the sharded filter (no driver-side key
+    collection): kept keys remain exactly the anti-join set."""
+    from sketchlib import CuckooConfig
+    from sketchlib.spark.shard import build_sharded, delete_sharded, probe_sharded
+
+    li = _t(spark, sf_dir, "lineitem")
+    keys = li.select(F.col("l_orderkey").cast("string").alias("key")).distinct()
+    deleted = (
+        li.where("l_returnflag = 'R'")
+        .select(F.col("l_orderkey").cast("string").alias("key"))
+        .distinct()
+    )
+    kept = keys.join(deleted, "key", "left_anti")
+    cfg = CuckooConfig(capacity=65536, fingerprint_bits=16, hash_strategy="xx")
+    shards = build_sharded(keys, "key", num_shards=8, cfg=cfg)
+    updated = delete_sharded(shards, deleted, "key", num_shards=8)
+    return probe_sharded(kept, "key", updated, num_shards=8).where("member").select("key")
+
+
 def q_hll_distinct_check(spark, sf_dir):
     """HLL distinct estimate within 3σ = 3·1.04/√m of exact."""
     from sketchlib.sketches import HyperLogLog
@@ -623,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuckoo_count": q_cuckoo_count,
         "bloom_membership": q_bloom_membership,
         "sharded_membership": q_sharded_membership,
+        "sharded_delete": q_sharded_delete,
         "hll_distinct_check": q_hll_distinct_check,
         "cms_frequency_check": q_cms_frequency_check,
         "quantile_sketches_check": q_quantile_sketches_check,
@@ -715,6 +736,10 @@ def oracle_sql() -> dict[str, str]:
         "bloom_membership": "SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS key FROM customer",
         "sharded_membership": (
             "SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS key, TRUE AS member FROM orders"
+        ),
+        "sharded_delete": (
+            "SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS key FROM lineitem "
+            "WHERE l_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')"
         ),
         "hll_distinct_check": (
             "SELECT COUNT(DISTINCT l_partkey) AS exact_distinct, TRUE AS within_bound FROM lineitem"

@@ -109,6 +109,48 @@ def build_sharded(
     return keyed.mapInArrow(fold, SHARD_SCHEMA)
 
 
+def delete_sharded(
+    shard_df: DataFrame, deletes: DataFrame, key_col: str, num_shards: int
+) -> DataFrame:
+    """Distributed delete against a sharded filter: deletes route to
+    their shard by the build's hash, each touched shard applies one
+    vectorized ``delete_batch`` and emits its updated row; untouched
+    shards pass through. No driver-side key collection — the delete set
+    can be any size.
+
+    Returns the updated shard table (same SHARD_SCHEMA)."""
+    import pandas as pd
+
+    spark = shard_df.sparkSession
+    states = {r.shard_id: r for r in shard_df.collect()}
+    bc = spark.sparkContext.broadcast(
+        {sid: (r.state, r.n_rows) for sid, r in states.items()}
+    )
+    keyed = deletes.select(F.col(key_col).alias("key")).withColumn(
+        "shard_id", _shard_col("key", num_shards)
+    )
+
+    def apply_deletes(pdf: pd.DataFrame) -> pd.DataFrame:
+        sid = int(pdf["shard_id"].iloc[0])
+        blob, n_rows = bc.value[sid]
+        f = loads(blob)
+        f.delete_batch(pdf["key"])
+        return pd.DataFrame(
+            {
+                "shard_id": [sid],
+                "n_rows": [int(n_rows)],
+                "item_count": [int(getattr(f, "num_items", 0))],
+                "fail_count": [int(getattr(f, "insert_failures", 0))],
+                "load_factor": [float(f.load_factor()) if hasattr(f, "load_factor") else 0.0],
+                "state": [f.to_bytes()],
+            }
+        )
+
+    updated = keyed.groupBy("shard_id").applyInPandas(apply_deletes, SHARD_SCHEMA)
+    untouched = shard_df.join(updated.select("shard_id"), "shard_id", "left_anti")
+    return untouched.unionByName(updated)
+
+
 def probe_sharded(
     probes: DataFrame, key_col: str, shard_df: DataFrame, num_shards: int
 ) -> DataFrame:

@@ -273,6 +273,27 @@ def test_sharded_build_probe(spark, docs_df):
     assert fp <= 10
 
 
+def test_delete_sharded(spark, docs_df):
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.shard import build_sharded, delete_sharded, probe_sharded
+
+    keys = docs_df.select(F.col("url").alias("key"))
+    shards = build_sharded(keys, "key", num_shards=4, cfg=_cfg())
+    drop = keys.where(F.pmod(F.xxhash64("key"), F.lit(3)) == 0)
+    keep = keys.subtract(drop)
+    updated = delete_sharded(shards, drop, "key", num_shards=4)
+    # kept keys: still all members (no false negatives)
+    kept_hits = probe_sharded(keep, "key", updated, 4).where("member").count()
+    assert kept_hits == keep.count()
+    # dropped keys: gone (up to fp-rate stragglers)
+    drop_hits = probe_sharded(drop, "key", updated, 4).where("member").count()
+    assert drop_hits <= max(2, int(drop.count() * 0.01))
+    # item accounting
+    total = updated.agg(F.sum("item_count")).first()[0]
+    assert total == keep.count()
+
+
 # ------------------------------------------------------- end-to-end invariant
 
 

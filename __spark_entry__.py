@@ -466,6 +466,79 @@ def q_top_revenue_orders(spark, sf_dir):
     )
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join, filter both sides, agg, top-k."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+def q_region_nation_rollup(spark, sf_dir):
+    """Multi-level aggregation (ROLLUP region, nation) over a 4-table
+    broadcastable dim chain."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+def q_top_customer_per_nation(spark, sf_dir):
+    """Window ranking: highest-spend customer per nation (row_number)."""
+    from pyspark.sql.window import Window
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        .join(c, F.col("o_custkey") == c.c_custkey)
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("spend").desc(), F.col("c_custkey")
+    )
+    return (
+        spend.withColumn("rk", F.row_number().over(w))
+        .where("rk = 1")
+        .select("c_nationkey", "c_custkey", "spend")
+    )
+
+
 def q_events_window_counts(spark, sf_dir):
     """Tumbling 1-hour event counts (the streaming agg, run batch)."""
     ev = _t(spark, sf_dir, "events")
@@ -651,6 +724,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "membership_anti_join": q_membership_anti_join,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
+        "shipping_priority": q_shipping_priority,
+        "region_nation_rollup": q_region_nation_rollup,
+        "top_customer_per_nation": q_top_customer_per_nation,
         "events_window_counts": q_events_window_counts,
         "sessionization": q_sessionization,
         "dedup_exact": q_dedup_exact,
@@ -772,6 +848,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
             "FROM lineitem GROUP BY l_orderkey) r JOIN orders ON l_orderkey = o_orderkey "
             "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+        ),
+        "shipping_priority": (
+            "SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_orderpriority "
+            "FROM customer, orders, lineitem "
+            "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00' AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00' "
+            "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+            "ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"
+        ),
+        "region_nation_rollup": (
+            "SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation, "
+            "COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_price "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY ROLLUP (r_name, n_name)"
+        ),
+        "top_customer_per_nation": (
+            "WITH spend AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS spend "
+            "FROM orders GROUP BY o_custkey), ranked AS ("
+            "SELECT c_nationkey, c_custkey, spend, ROW_NUMBER() OVER ("
+            "PARTITION BY c_nationkey ORDER BY spend DESC, c_custkey) AS rk "
+            "FROM spend JOIN customer ON o_custkey = c_custkey) "
+            "SELECT c_nationkey, c_custkey, spend FROM ranked WHERE rk = 1"
         ),
         "events_window_counts": (
             "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_start, event_type, "

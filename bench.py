@@ -86,6 +86,12 @@ def build_throughput(spark, docs_path: str, partitions: int, trials: int = 3) ->
         F.concat(F.lit("https://absent-"), F.col("id"), F.lit(".example.net/x")).alias("key")
     )
     hits = probe_sharded(absent, "key", built, num_shards).where("member").count()
+    # probe throughput: every inserted url, routed + vectorized lookup
+    present = spark.read.parquet(docs_path).select(F.col("url").alias("key"))
+    t0 = time.perf_counter()
+    n_member = probe_sharded(present, "key", built, num_shards).where("member").count()
+    probe_sec = time.perf_counter() - t0
+    assert n_member == n, "no-false-negative contract violated"
     return {
         "rows": n,
         "pipeline": "hll+cms+kll scan-partitioned / cuckoo sharded x" + str(num_shards),
@@ -96,6 +102,8 @@ def build_throughput(spark, docs_path: str, partitions: int, trials: int = 3) ->
         "cuckoo_fail": int(fails),
         "measured_fpr": round(hits / n_probe, 6),
         "fpr_bound": round(2 * 4 / (1 << 16), 6),
+        "probe_sec": round(probe_sec, 3),
+        "probes_per_sec": round(n / probe_sec),
         "hll_rel_err": round(abs(fixed["hll"].estimate() - n) / n, 5),
     }
 

@@ -273,6 +273,35 @@ def test_sharded_build_probe(spark, docs_df):
     assert fp <= 10
 
 
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Same-bucketed tables join without any shuffle Exchange — the
+    co-located join path big joins need at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.bucketing import bucketed_join, plan_has_exchange, write_bucketed
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(o, "b_orders", "o_orderkey", 8)
+    write_bucketed(li, "b_lineitem", "o_orderkey", 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        assert not plan_has_exchange(
+            joined.select("o_orderkey", "o_totalprice", "l_quantity")
+        )
+        # and the same join on raw parquet DOES shuffle (control)
+        raw = o.join(li, "o_orderkey").select("o_orderkey", "o_totalprice", "l_quantity")
+        assert plan_has_exchange(raw)
+        # result parity
+        assert joined.count() == o.join(li, "o_orderkey").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_delete_sharded(spark, docs_df):
     from pyspark.sql import functions as F
 

@@ -392,6 +392,71 @@ def q_cms_frequency_check(spark, sf_dir):
     )
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """CMS+candidate heavy hitters over document tokens: top-10 keys
+    match the exact top-10 (Zipf separation >> CMS error here), with
+    one-sided count checks."""
+    from sketchlib.spark.text import token_count  # noqa: F401  (module warm)
+    from sketchlib.spark.udfs import cms_heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    hh = cms_heavy_hitters(toks, "token", k=10)
+    exact = {
+        r.token: r.cnt
+        for r in toks.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(10)
+        .collect()
+    }
+    rows = [
+        (tok, int(exact.get(tok, -1)), bool(est >= exact.get(tok, float("inf"))))
+        for tok, est in hh
+    ]
+    return spark.createDataFrame(rows, "token string, exact_cnt long, never_under boolean")
+
+
+def q_grouped_quantiles(spark, sf_dir):
+    """Quantile-by-group: per-returnflag KLL median of extendedprice via
+    the salted grouped build; rank-checked in-query (exact groups +
+    booleans are the SQL-verifiable surface)."""
+    from sketchlib.serde import loads
+    from sketchlib.sketches import KLLSketch
+    from sketchlib.spark.grouped import build_grouped_sketches
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v")
+    )
+
+    class _NumKLL(KLLSketch):
+        def update(self, values):  # grouped build passes a pandas Series
+            import numpy as np
+
+            super().update(np.asarray(values, np.float64))
+
+    grouped = build_grouped_sketches(li, "g", "v", lambda: _NumKLL(200), salt_buckets=4)
+    rows = grouped.collect()
+    # one aggregation computes each group-median's exact rank
+    aggs = [F.count("*").alias("n")]
+    medians = {}
+    for i, r in enumerate(rows):
+        med = float(loads(r.state).quantile(0.5)[0])
+        medians[r.group_key] = (i, med)
+        aggs.append(
+            F.sum(((F.col("g") == r.group_key) & (F.col("v") <= med)).cast("long")).alias(f"le{i}")
+        )
+        aggs.append(F.sum((F.col("g") == r.group_key).cast("long")).alias(f"n{i}"))
+    a = li.agg(*aggs).first()
+    out = []
+    for gk, (i, med) in sorted(medians.items()):
+        rank = a[f"le{i}"] / max(a[f"n{i}"], 1)
+        out.append((gk, bool(abs(rank - 0.5) <= 0.02)))
+    return spark.createDataFrame(out, "l_returnflag string, median_within_rank_eps boolean")
+
+
 def q_quantile_sketches_check(spark, sf_dir):
     """KLL + t-digest quantiles of l_extendedprice within rank ε."""
     from sketchlib.sketches import KLLSketch, TDigest
@@ -720,6 +785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_check": q_hll_distinct_check,
         "cms_frequency_check": q_cms_frequency_check,
         "quantile_sketches_check": q_quantile_sketches_check,
+        "heavy_hitters": q_heavy_hitters,
+        "grouped_quantiles": q_grouped_quantiles,
         "membership_semi_join": q_membership_semi_join,
         "membership_anti_join": q_membership_anti_join,
         "pricing_summary": q_pricing_summary,
@@ -823,6 +890,16 @@ def oracle_sql() -> dict[str, str]:
         "cms_frequency_check": (
             "SELECT event_type, COUNT(*) AS exact_cnt, TRUE AS never_under, TRUE AS within_bound "
             "FROM events GROUP BY event_type"
+        ),
+        "heavy_hitters": (
+            "SELECT token, COUNT(*) AS exact_cnt, TRUE AS never_under FROM ("
+            "SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token FROM documents "
+            "WHERE trim(coalesce(text,'')) <> '') WHERE token <> '' "
+            "GROUP BY token ORDER BY exact_cnt DESC, token LIMIT 10"
+        ),
+        "grouped_quantiles": (
+            "SELECT CAST(l_returnflag AS VARCHAR) AS l_returnflag, "
+            "TRUE AS median_within_rank_eps FROM lineitem GROUP BY l_returnflag"
         ),
         "quantile_sketches_check": (
             "SELECT CAST(q AS DOUBLE) AS q, kll_ok, tdigest_ok FROM (VALUES "

@@ -69,3 +69,65 @@ def hash_indices_udf(num_buckets: int, strategy: str = "fnv", bits: int = 8):
         )
 
     return indices
+
+
+def cms_heavy_hitters(
+    df,
+    key_col: str,
+    k: int = 10,
+    width: int = 1 << 14,
+    depth: int = 4,
+    candidate_factor: int = 4,
+):
+    """Approximate top-k heavy hitters (SURVEY §2.1 stretch goal).
+
+    Scale shape: one zero-shuffle pass folds a partition-local CMS AND
+    a partition-local candidate list (top candidate_factor*k by local
+    exact count — a superset guarantee heuristic for heavy hitters,
+    exact for any key whose global share exceeds one partition's
+    share); the merged global CMS then scores the unioned candidates.
+    Rows shuffled: candidates only (k-scale, not data-scale).
+
+    Returns list[(key, est_count)] sorted (est desc, key asc), length k.
+    """
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+
+    from ..serde import loads
+    from ..sketches import CountMinSketch
+
+    def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+
+        cms = CountMinSketch(width=width, depth=depth)
+        counts: dict = {}
+        for rb in batches:
+            col = rb.column(0)
+            vc = col.value_counts()
+            vals = vc.field("values").to_pylist()
+            cnts = vc.field("counts").to_numpy(zero_copy_only=False)
+            cms.update(vc.field("values"), weights=cnts)
+            for v, c in zip(vals, cnts):
+                counts[v] = counts.get(v, 0) + int(c)
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[: candidate_factor * k]
+        yield pa.RecordBatch.from_pydict(
+            {
+                "cand": [[t[0] for t in top]],
+                "state": [cms.to_bytes()],
+            },
+            schema=pa.schema([("cand", pa.list_(pa.string())), ("state", pa.binary())]),
+        )
+
+    rows = df.select(key_col).mapInArrow(fold, "cand array<string>, state binary").collect()
+    if not rows:
+        return []
+    cms = loads(rows[0].state)
+    cands = set(rows[0].cand)
+    for r in rows[1:]:
+        cms.merge(loads(r.state))
+        cands.update(r.cand)
+    cand_list = sorted(cands)
+    est = cms.estimate(cand_list)
+    ranked = sorted(zip(cand_list, est), key=lambda kv: (-int(kv[1]), kv[0]))
+    return [(c, int(e)) for c, e in ranked[:k]]

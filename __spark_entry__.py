@@ -498,6 +498,18 @@ def q_membership_anti_join(spark, sf_dir):
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
 
 
+def q_set_ops(spark, sf_dir):
+    """Set operations (SURVEY §2.2): customers-with-orders INTERSECT
+    high-balance customers; UNION and EXCEPT branches too."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+    rich = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    inter = with_orders.intersect(rich).withColumn("op", F.lit("intersect"))
+    only_rich = rich.exceptAll(with_orders).distinct().withColumn("op", F.lit("except"))
+    return inter.unionByName(only_rich).select("op", "c_custkey")
+
+
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1-style aggregation pipeline (partial-agg shuffle)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -789,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_quantiles": q_grouped_quantiles,
         "membership_semi_join": q_membership_semi_join,
         "membership_anti_join": q_membership_anti_join,
+        "set_ops": q_set_ops,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "shipping_priority": q_shipping_priority,
@@ -911,6 +924,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "membership_anti_join": (
             "SELECT c_custkey FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
+        ),
+        "set_ops": (
+            "WITH wo AS (SELECT c_custkey FROM customer WHERE c_custkey IN "
+            "(SELECT o_custkey FROM orders)), rich AS ("
+            "SELECT c_custkey FROM customer WHERE c_acctbal > 5000) "
+            "SELECT 'intersect' AS op, c_custkey FROM (SELECT * FROM wo INTERSECT SELECT * FROM rich) "
+            "UNION ALL "
+            "SELECT 'except' AS op, c_custkey FROM (SELECT * FROM rich EXCEPT SELECT * FROM wo)"
         ),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, "

@@ -106,6 +106,46 @@ def test_bloom_no_false_negatives_random(keys):
     assert f.contains(keys).all()
 
 
+@settings(max_examples=25, deadline=None)
+@given(
+    keys=st.lists(
+        st.sampled_from([f"k{i}" for i in range(30)]), min_size=1, max_size=80
+    ),
+    dels=st.lists(
+        st.sampled_from([f"k{i}" for i in range(40)]), min_size=1, max_size=60
+    ),
+)
+def test_delete_batch_equals_sequential(keys, dels):
+    """The vectorized delete (unique fast path + conflict fallback) must
+    equal a one-at-a-time delete loop on arbitrary multisets, including
+    duplicate keys in one batch and never-inserted keys."""
+    cfg = CuckooConfig(capacity=512, fingerprint_bits=16, hash_strategy="xx")
+    fa, fb = CuckooFilter(cfg), CuckooFilter(cfg)
+    fa.insert_batch(keys)
+    fb.insert_batch(keys)
+    ra = fa.delete_batch(dels)
+    rb = np.array([fb.delete(d) for d in dels])
+    assert (ra == rb).all()
+    assert fa.count() == fb.count()
+    # table contents agree up to slot order within buckets
+    assert (np.sort(fa.table, axis=1) == np.sort(fb.table, axis=1)).all()
+
+
+def test_merge_overflow_accounting():
+    """Merging two filters that jointly exceed capacity: failures are
+    counted and count() stays consistent (count = successes only)."""
+    cfg = CuckooConfig(capacity=64, bucket_size=4, fingerprint_bits=16)
+    a, b = CuckooFilter(cfg), CuckooFilter(cfg)
+    a.insert_batch([f"a{i}" for i in range(60)])
+    b.insert_batch([f"b{i}" for i in range(60)])
+    na, nb = a.count(), b.count()
+    pre_fail = a.insert_failures
+    a.merge(b)
+    new_failures = a.insert_failures - pre_fail  # failures during merge
+    assert a.count() == na + nb - new_failures
+    assert a.count() <= cfg.slot_capacity
+
+
 @settings(max_examples=10, deadline=None)
 @given(keys=st.lists(st.text(min_size=1, max_size=20), min_size=1, max_size=100))
 def test_cuckoo_serde_roundtrip_random(keys):

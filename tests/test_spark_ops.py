@@ -356,6 +356,81 @@ def test_stateful_hll_by_key_stream(spark, docs_parquet, tmp_path):
         assert abs(est - exact[lang]) / max(exact[lang], 1) <= 0.15
 
 
+def test_windowed_distinct_watermark_drops_late(spark, tmp_path):
+    """Watermarked windowed distinct over a real 3-batch stream. The
+    hard guarantee under append mode: a window is emitted AT MOST ONCE
+    after the watermark passes it, and later batches cannot reopen it —
+    a very-late row (batch 3, window already finalized+evicted) never
+    produces a second hour-00 output row. (Row-level late filtering
+    before eviction is best-effort in Spark and not asserted.)"""
+    import glob
+    import shutil
+
+    from sketchlib.streaming.incremental import windowed_distinct_stream
+
+    src = tmp_path / "wm_in"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        df = spark.createDataFrame(rows, "ts string, user_id string").select(
+            F.col("ts").cast("timestamp").alias("ts"), "user_id"
+        )
+        tmp = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.move(part, src / f"{name}.parquet")
+
+    # batch 1: on-time rows in hour 00 and a row at hour 06 that will
+    # advance the watermark (6h - 2h watermark = 04:00) past hour 00
+    write_batch(
+        "b1",
+        [
+            ("2026-01-01 00:10:00", "a"),
+            ("2026-01-01 00:20:00", "b"),
+            ("2026-01-01 06:00:00", "z"),
+        ],
+    )
+    # batch 2: a LATE row for hour 00 (behind the 04:00 watermark)
+    write_batch(
+        "b2",
+        [("2026-01-01 00:30:00", "late-user"), ("2026-01-01 06:30:00", "z2")],
+    )
+    # batch 3: a VERY late row for hour 00 — by now the hour-00 window
+    # is finalized (emitted + state evicted)
+    write_batch("b3", [("2026-01-01 00:40:00", "very-late"), ("2026-01-01 07:30:00", "z3")])
+    # the file source orders same-batch candidates by mtime: make the
+    # intended batch order explicit
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    _os.utime(src / "b1.parquet", (now - 240, now - 240))
+    _os.utime(src / "b2.parquet", (now - 120, now - 120))
+    _os.utime(src / "b3.parquet", (now, now))
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = windowed_distinct_stream(stream, "ts", "user_id", window="1 hour", watermark="2 hours")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_distinct")
+        .option("checkpointLocation", str(tmp_path / "wm_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT window.start AS s, approx_distinct FROM wm_distinct").collect()
+    hour00 = [r.approx_distinct for r in rows if str(r.s) == "2026-01-01 00:00:00"]
+    # exactly one finalized emission for hour 00, and the very-late
+    # batch-3 row is NOT in it (on-time a,b (+ possibly the batch-2
+    # pre-eviction row) but never 4)
+    assert len(hour00) == 1
+    assert 2 <= hour00[0] <= 3
+
+
 def test_windowed_distinct_stream_plan(spark):
     # plan-level check: the streaming agg builds without a real stream
     from sketchlib.streaming.incremental import windowed_distinct_stream

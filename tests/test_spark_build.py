@@ -273,6 +273,32 @@ def test_sharded_build_probe(spark, docs_df):
     assert fp <= 10
 
 
+def test_cms_heavy_hitters_operator(spark):
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.udfs import cms_heavy_hitters
+
+    rows = (
+        [("hot",)] * 500
+        + [("warm",)] * 200
+        + [("mild",)] * 50
+        + [(f"cold{i}",) for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "key string").repartition(4)
+    hh = cms_heavy_hitters(df, "key", k=3)
+    assert [t for t, _ in hh] == ["hot", "warm", "mild"]
+    est = dict(hh)
+    assert est["hot"] >= 500 and est["warm"] >= 200  # CMS one-sided
+
+
+def test_read_pages_parquet(spark, docs_parquet):
+    from sketchlib.spark.sources import read_pages
+
+    df = read_pages(spark, docs_parquet, fmt="parquet")
+    assert df.columns == ["url", "warc_ts", "html", "text", "lang"]
+    assert df.count() == 1000
+
+
 def test_bucketed_join_no_exchange(spark, tmp_path):
     """Same-bucketed tables join without any shuffle Exchange — the
     co-located join path big joins need at 100 TB."""

@@ -8,8 +8,8 @@ sketch-build throughput over a cached deterministic web-page table
 
 Usage:
   python bench.py                 # driver mode: one JSON line to stdout
-  python bench.py --scaling      # extra: local[8] vs local[32] build
-                                  # throughput + scaling efficiency
+  python bench.py --scaling      # extra: same job at local[2]/[8]/[32]
+                                  # -> N vs 4N throughput + efficiency
 """
 
 from __future__ import annotations

@@ -675,6 +675,32 @@ def q_minhash_identical(spark, sf_dir):
     )
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs (rows-only: the gram
+    self-join is deterministic but painful to mirror in ANSI SQL)."""
+    from sketchlib.spark.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = ngram_jaccard_pairs(d, n=3, threshold=0.8)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_sql_interface(spark, sf_dir):
+    """Pure SQL surface (spark.sql over temp views): revenue per
+    order-priority — proves the engine is also driveable as SQL."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(DISTINCT o_orderkey) AS n_orders,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM v_orders JOIN v_lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+        """
+    )
+
+
 def q_token_count(spark, sf_dir):
     from sketchlib.spark.text import token_count
 
@@ -812,6 +838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_exact_hash": q_dedup_exact_hash,
         "minhash_identical": q_minhash_identical,
+        "ngram_jaccard": q_ngram_jaccard,
+        "sql_interface": q_sql_interface,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -989,6 +1017,12 @@ def oracle_sql() -> dict[str, str]:
             "JOIN documents b ON a.text = b.text AND a.doc_id < b.doc_id"
         ),
         "token_count": f"SELECT doc_id, {tok} AS n_tokens FROM documents",
+        "sql_interface": (
+            "SELECT o_orderpriority, COUNT(DISTINCT o_orderkey) AS n_orders, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+            "GROUP BY o_orderpriority"
+        ),
         "lang_id": f"SELECT doc_id, {lang_case} AS lang_pred FROM documents",
         "quality_score": (
             "SELECT doc_id, length(coalesce(text,'')) AS n_chars_q, "

@@ -329,7 +329,8 @@ def q_sharded_membership(spark, sf_dir):
         F.col("o_custkey").cast("string").alias("key")
     ).distinct()
     cfg = CuckooConfig(capacity=65536, fingerprint_bits=16, hash_strategy="xx")
-    shards = build_sharded(keys, "key", num_shards=8, cfg=cfg)
+    # the shard table IS the filter — persist it like any long-lived index
+    shards = build_sharded(keys, "key", num_shards=8, cfg=cfg).persist()
     return probe_sharded(keys, "key", shards, num_shards=8).select("key", "member")
 
 
@@ -349,7 +350,7 @@ def q_sharded_delete(spark, sf_dir):
     kept = keys.join(deleted, "key", "left_anti")
     cfg = CuckooConfig(capacity=65536, fingerprint_bits=16, hash_strategy="xx")
     shards = build_sharded(keys, "key", num_shards=8, cfg=cfg)
-    updated = delete_sharded(shards, deleted, "key", num_shards=8)
+    updated = delete_sharded(shards, deleted, "key", num_shards=8).persist()
     return probe_sharded(kept, "key", updated, num_shards=8).where("member").select("key")
 
 

@@ -80,16 +80,25 @@ def build_throughput(spark, docs_path: str, partitions: int, trials: int = 3) ->
 
     total_items = sum(r.item_count for r in shard_rows)
     fails = sum(r.fail_count for r in shard_rows)
+    state_bytes = sum(len(r.state) for r in shard_rows)
     built = spark.createDataFrame(shard_rows, SHARD_SCHEMA)
     n_probe = 100_000
     absent = spark.range(n_probe).select(
         F.concat(F.lit("https://absent-"), F.col("id"), F.lit(".example.net/x")).alias("key")
     )
-    hits = probe_sharded(absent, "key", built, num_shards).where("member").count()
+    hits = (
+        probe_sharded(absent, "key", built, num_shards, state_bytes=state_bytes)
+        .where("member")
+        .count()
+    )
     # probe throughput: every inserted url, routed + vectorized lookup
     present = spark.read.parquet(docs_path).select(F.col("url").alias("key"))
     t0 = time.perf_counter()
-    n_member = probe_sharded(present, "key", built, num_shards).where("member").count()
+    n_member = (
+        probe_sharded(present, "key", built, num_shards, state_bytes=state_bytes)
+        .where("member")
+        .count()
+    )
     probe_sec = time.perf_counter() - t0
     assert n_member == n, "no-false-negative contract violated"
     return {

@@ -109,36 +109,45 @@ def build_sharded(
     return keyed.mapInArrow(fold, SHARD_SCHEMA)
 
 
+_SHARD_COLS = ["shard_id", "n_rows", "item_count", "fail_count", "load_factor", "state"]
+
+
 def delete_sharded(
     shard_df: DataFrame, deletes: DataFrame, key_col: str, num_shards: int
 ) -> DataFrame:
-    """Distributed delete against a sharded filter: deletes route to
-    their shard by the build's hash, each touched shard applies one
-    vectorized ``delete_batch`` and emits its updated row; untouched
-    shards pass through. No driver-side key collection — the delete set
-    can be any size.
+    """Distributed delete against a sharded filter, fully executor-side.
+
+    Deletes route to their shard by the build's hash; a COGROUP on
+    shard_id hands each task exactly (that shard's delete keys, that
+    shard's single state row) — one co-partitioned shuffle, no driver
+    collection of keys OR states, per-task memory = one shard. Untouched
+    shards pass through (empty delete group); delete keys routed to a
+    shard that never emitted a row (key was never inserted) are dropped —
+    there is nothing to delete in a nonexistent shard.
+
+    Matches the reference delete contract (``internal/filter/
+    filter.go:116-133``) at any delete-set and filter size.
 
     Returns the updated shard table (same SHARD_SCHEMA)."""
     import pandas as pd
 
-    spark = shard_df.sparkSession
-    states = {r.shard_id: r for r in shard_df.collect()}
-    bc = spark.sparkContext.broadcast(
-        {sid: (r.state, r.n_rows) for sid, r in states.items()}
-    )
     keyed = deletes.select(F.col(key_col).alias("key")).withColumn(
         "shard_id", _shard_col("key", num_shards)
     )
 
-    def apply_deletes(pdf: pd.DataFrame) -> pd.DataFrame:
-        sid = int(pdf["shard_id"].iloc[0])
-        blob, n_rows = bc.value[sid]
-        f = loads(blob)
-        f.delete_batch(pdf["key"])
+    def apply_deletes(dels: pd.DataFrame, state: pd.DataFrame) -> pd.DataFrame:
+        if state.empty:
+            # deletes hashed to a shard with no row: nothing was ever
+            # inserted there, so there is nothing to delete
+            return pd.DataFrame({c: [] for c in _SHARD_COLS})
+        if dels.empty:
+            return state[_SHARD_COLS]  # untouched shard passes through
+        f = loads(state["state"].iloc[0])
+        f.delete_batch(dels["key"])
         return pd.DataFrame(
             {
-                "shard_id": [sid],
-                "n_rows": [int(n_rows)],
+                "shard_id": [int(state["shard_id"].iloc[0])],
+                "n_rows": [int(state["n_rows"].iloc[0])],
                 "item_count": [int(getattr(f, "num_items", 0))],
                 "fail_count": [int(getattr(f, "insert_failures", 0))],
                 "load_factor": [float(f.load_factor()) if hasattr(f, "load_factor") else 0.0],
@@ -146,28 +155,63 @@ def delete_sharded(
             }
         )
 
-    updated = keyed.groupBy("shard_id").applyInPandas(apply_deletes, SHARD_SCHEMA)
-    untouched = shard_df.join(updated.select("shard_id"), "shard_id", "left_anti")
-    return untouched.unionByName(updated)
+    return (
+        keyed.groupBy("shard_id")
+        .cogroup(shard_df.groupBy("shard_id"))
+        .applyInPandas(apply_deletes, SHARD_SCHEMA)
+    )
 
 
 def probe_sharded(
-    probes: DataFrame, key_col: str, shard_df: DataFrame, num_shards: int
+    probes: DataFrame,
+    key_col: str,
+    shard_df: DataFrame,
+    num_shards: int,
+    broadcast_threshold_bytes: int = 64 << 20,
+    state_bytes: int | None = None,
 ) -> DataFrame:
     """→ probes + boolean ``member`` column.
 
-    Broadcast-join the shard table (KB-MB per shard) onto probes
-    grouped by shard, answering each group with one vectorized lookup.
-    """
+    Probes are grouped by their shard and answered with one vectorized
+    lookup per group. The shard table joins in by one of two plans:
+
+    * total state ≤ ``broadcast_threshold_bytes``: broadcast-hash join
+      (no shuffle of the shard table, probes keep their partitioning).
+    * larger (the 10^12-key regime, where total state is ~2 bytes/key):
+      co-partitioned shuffle-hash join on shard_id — each task receives
+      only its own shard's state, never the whole table.
+
+    ``state_bytes``: caller-known total state size; when None it is
+    measured with one tiny aggregation over ``shard_df`` (persist the
+    shard table first — it is the filter, you will probe it repeatedly).
+
+    LEFT join semantics: probes hashing to a shard with no row (nothing
+    was ever inserted there) come back ``member = false`` instead of
+    being dropped."""
     import pandas as pd
 
+    if state_bytes is None:
+        state_bytes = (
+            shard_df.select(F.sum(F.length("state")).alias("b")).first().b or 0
+        )
+    states = shard_df.select("shard_id", "state")
+    if state_bytes <= broadcast_threshold_bytes:
+        states = F.broadcast(states)
+    else:
+        # shuffle-hash: hash the (small-per-partition) state side, never
+        # sort data-scale probes; co-partitioned on shard_id
+        states = states.hint("shuffle_hash")
     keyed = probes.withColumn("shard_id", _shard_col(key_col, num_shards))
-    joined = keyed.join(F.broadcast(shard_df.select("shard_id", "state")), "shard_id")
+    joined = keyed.join(states, "shard_id", "left")
 
     def lookup(pdf: pd.DataFrame) -> pd.DataFrame:
-        f = loads(pdf["state"].iloc[0])
-        fn = getattr(f, "lookup_batch", None) or f.contains
+        blob = pdf["state"].iloc[0]
         out = pdf.drop(columns=["state"])
+        if blob is None:
+            out["member"] = False  # empty shard: key was never inserted
+            return out
+        f = loads(blob)
+        fn = getattr(f, "lookup_batch", None) or f.contains
         out["member"] = fn(pdf[key_col])
         return out
 

@@ -349,6 +349,59 @@ def test_delete_sharded(spark, docs_df):
     assert total == keep.count()
 
 
+def test_delete_sharded_plan_fully_distributed(spark, docs_df):
+    """Scale gate: the delete plan is a co-partitioned cogroup — no
+    driver round-trip of shard states, no broadcast of the filter."""
+    from sketchlib.spark.shard import build_sharded, delete_sharded
+
+    keys = docs_df.select(F.col("url").alias("key"))
+    shards = build_sharded(keys, "key", num_shards=4, cfg=_cfg())
+    drop = keys.limit(100)
+    updated = delete_sharded(shards, drop, "key", num_shards=4)
+    plan = updated._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "Broadcast" not in plan
+
+
+def test_probe_sharded_broadcast_and_copartitioned_paths(spark, docs_df):
+    """Small shard tables broadcast; above the threshold the probe joins
+    co-partitioned (shuffle-hash) so no task ever holds the whole
+    filter. Both paths answer identically."""
+    from sketchlib.spark.shard import build_sharded, probe_sharded
+
+    keys = docs_df.select(F.col("url").alias("key"))
+    shards = build_sharded(keys, "key", num_shards=4, cfg=_cfg()).persist()
+    small = probe_sharded(keys, "key", shards, 4)
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_small
+    big = probe_sharded(keys, "key", shards, 4, broadcast_threshold_bytes=0)
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan_big
+    assert "ShuffledHashJoin" in plan_big
+    assert big.where("member").count() == 1000
+    shards.unpersist()
+
+
+def test_sharded_empty_shards_probe_and_delete(spark):
+    """Probes and deletes that hash to a shard with no state row:
+    probes come back member=false (left join, not dropped); deletes are
+    no-ops (nothing was inserted there), not a KeyError."""
+    from sketchlib.spark.shard import build_sharded, delete_sharded, probe_sharded
+
+    few = spark.createDataFrame([(f"k{i}",) for i in range(5)], "key string")
+    shards = build_sharded(few, "key", num_shards=64, cfg=_cfg(capacity=4096)).persist()
+    n_shards_built = shards.count()
+    assert n_shards_built <= 5  # most of the 64 shards have no row
+    probes = spark.createDataFrame([(f"p{i}",) for i in range(100)], "key string")
+    probed = probe_sharded(probes, "key", shards, 64)
+    assert probed.count() == 100  # every probe answered, none dropped
+    assert probed.where("member").count() <= 2  # fp-rate only
+    updated = delete_sharded(shards, probes, "key", num_shards=64)
+    assert updated.count() == n_shards_built
+    assert probe_sharded(few, "key", updated, 64).where("member").count() == 5
+    shards.unpersist()
+
+
 # ------------------------------------------------------- end-to-end invariant
 
 

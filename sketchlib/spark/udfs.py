@@ -78,6 +78,7 @@ def cms_heavy_hitters(
     width: int = 1 << 14,
     depth: int = 4,
     candidate_factor: int = 4,
+    fanout: int = 16,
 ):
     """Approximate top-k heavy hitters (SURVEY §2.1 stretch goal).
 
@@ -85,8 +86,10 @@ def cms_heavy_hitters(
     a partition-local candidate list (top candidate_factor*k by local
     exact count — a superset guarantee heuristic for heavy hitters,
     exact for any key whose global share exceeds one partition's
-    share); the merged global CMS then scores the unioned candidates.
-    Rows shuffled: candidates only (k-scale, not data-scale).
+    share); partial states then TREE-merge executor-side (groupBy
+    part_id % fanout, candidates unioned alongside), so the driver
+    sees ≤fanout blobs regardless of partition count. Rows shuffled:
+    fanout × (state + candidate list) — k-scale, not data-scale.
 
     Returns list[(key, est_count)] sorted (est desc, key asc), length k.
     """
@@ -97,9 +100,12 @@ def cms_heavy_hitters(
     from ..serde import loads
     from ..sketches import CountMinSketch
 
-    def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        import numpy as np
+    PARTIAL_SCHEMA = "part_id int, cand array<string>, state binary"
 
+    def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
         cms = CountMinSketch(width=width, depth=depth)
         counts: dict = {}
         for rb in batches:
@@ -113,13 +119,40 @@ def cms_heavy_hitters(
         top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[: candidate_factor * k]
         yield pa.RecordBatch.from_pydict(
             {
+                "part_id": [pid],
                 "cand": [[t[0] for t in top]],
                 "state": [cms.to_bytes()],
             },
-            schema=pa.schema([("cand", pa.list_(pa.string())), ("state", pa.binary())]),
+            schema=pa.schema(
+                [
+                    ("part_id", pa.int32()),
+                    ("cand", pa.list_(pa.string())),
+                    ("state", pa.binary()),
+                ]
+            ),
         )
 
-    rows = df.select(key_col).mapInArrow(fold, "cand array<string>, state binary").collect()
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        cms = loads(pdf["state"].iloc[0])
+        cands: set = set(pdf["cand"].iloc[0])
+        for i in range(1, len(pdf)):
+            cms.merge(loads(pdf["state"].iloc[i]))
+            cands.update(pdf["cand"].iloc[i])
+        return pd.DataFrame(
+            {
+                "part_id": [int(pdf["part_id"].min())],
+                "cand": [sorted(cands)],
+                "state": [cms.to_bytes()],
+            }
+        )
+
+    partials = df.select(key_col).mapInArrow(fold, PARTIAL_SCHEMA)
+    level1 = (
+        partials.withColumn("merge_group", F.pmod(F.col("part_id"), F.lit(fanout)))
+        .groupBy("merge_group")
+        .applyInPandas(merge_group, PARTIAL_SCHEMA)
+    )
+    rows = level1.collect()
     if not rows:
         return []
     cms = loads(rows[0].state)

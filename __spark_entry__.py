@@ -22,6 +22,48 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# ------------------------------------------------------- derived dup corpus
+#
+# The driver documents table has zero duplicate texts, so dedup queries
+# over it would pass vacuously. Every dedup/near-dup query instead runs
+# over a DERIVED frame with deterministically injected duplicates —
+# exact copies, one-token-appended near-copies, and doubled texts —
+# mirrored 1:1 by a SQL CTE so the oracles discriminate.
+
+NEAR_SUFFIX = "zzqneardupzz"  # marker token, absent from the corpus
+
+DERIVED_DOCS_CTE = (
+    "WITH derived AS ("
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0 "
+    f"UNION ALL SELECT doc_id + 2000000, text || ' {NEAR_SUFFIX}' "
+    "FROM documents WHERE doc_id % 7 = 0 "
+    "UNION ALL SELECT doc_id + 3000000, text || ' ' || text "
+    "FROM documents WHERE doc_id % 9 = 0)"
+)
+
+
+def _docs_with_dups(spark, sf_dir) -> DataFrame:
+    """documents ∪ injected duplicates (the Spark mirror of
+    DERIVED_DOCS_CTE): exact copies at +1e6, near-copies (one appended
+    marker token ⇒ shingle-Jaccard ≥ (W-4)/(W-3) ≈ 0.86+) at +2e6,
+    doubled texts (identical token distribution ⇒ SimHash Hamming 0,
+    different text) at +3e6."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ex = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat("text", F.lit(" " + NEAR_SUFFIX)).alias("text"),
+    )
+    dbl = d.where(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat("text", F.lit(" "), "text").alias("text"),
+    )
+    return d.unionByName(ex).unionByName(near).unionByName(dbl)
+
+
 # --------------------------------------------------------------------- entry
 
 
@@ -240,19 +282,22 @@ def q_word_token_count(spark, sf_dir):
 
 
 def q_simhash_near_dups(spark, sf_dir):
-    """SimHash near-dup pairs, Hamming <= 3 (pigeonhole block join).
-    On this corpus near-dups == exact text dups, so the oracle is the
-    identical-text self-join (exact)."""
+    """SimHash near-dup pairs, Hamming ≤ 3, over the derived dup
+    corpus. Injected exact copies AND doubled texts (token counts
+    scaled 2× ⇒ identical vote signs ⇒ Hamming 0 despite different
+    text) must both surface through the pigeonhole block join; the
+    exact text relation keeps the output SQL-mirrorable."""
     from sketchlib.spark.dedup import simhash_near_dup_pairs
 
-    d = _t(spark, sf_dir, "documents")
-    pairs = simhash_near_dup_pairs(d, max_hamming=0)
+    d = _docs_with_dups(spark, sf_dir)
+    pairs = simhash_near_dup_pairs(d, max_hamming=3)
     ta = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
     tb = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    doubled = F.concat("text_a", F.lit(" "), "text_a")
     return (
         pairs.join(ta, "id_a")
         .join(tb, "id_b")
-        .where(F.col("text_a") == F.col("text_b"))
+        .where((F.col("text_a") == F.col("text_b")) | (F.col("text_b") == doubled))
         .select("id_a", "id_b")
     )
 
@@ -646,25 +691,31 @@ def q_sessionization(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
+    """Exact dedup over the derived dup corpus (550+ rows in, injected
+    copies must lose to their originals' min doc_id)."""
     from sketchlib.spark.dedup import dedup_exact
 
-    return dedup_exact(_t(spark, sf_dir, "documents")).select("doc_id")
+    return dedup_exact(_docs_with_dups(spark, sf_dir)).select("doc_id")
 
 
 def q_dedup_exact_hash(spark, sf_dir):
+    """Hash-shuffle dedup (the 100 TB shape) over the derived corpus —
+    must agree exactly with the full-text groupBy."""
     from sketchlib.spark.dedup import dedup_exact_hash
 
-    return dedup_exact_hash(_t(spark, sf_dir, "documents")).select("doc_id")
+    return dedup_exact_hash(_docs_with_dups(spark, sf_dir)).select("doc_id")
 
 
 def q_minhash_identical(spark, sf_dir):
-    """MinHash-LSH candidates at threshold 1.0, then the standard exact
-    verify stage (identical shingle sets ≠ identical text — e.g. token
-    reorderings — so production near-dup pipelines always re-verify
-    candidates). Result = exactly the identical-text pairs."""
+    """MinHash-LSH candidates at threshold 1.0 over the derived dup
+    corpus, then the standard exact verify stage (identical shingle
+    sets ≠ identical text — e.g. token reorderings — so production
+    near-dup pipelines always re-verify candidates). Result = exactly
+    the injected identical-text pairs (non-vacuous: LSH must find
+    them)."""
     from sketchlib.spark.dedup import minhash_dedup_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_with_dups(spark, sf_dir)
     cand = minhash_dedup_pairs(docs, num_perm=128, bands=32, threshold=1.0)
     ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
     tb = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
@@ -676,14 +727,39 @@ def q_minhash_identical(spark, sf_dir):
     )
 
 
+def q_minhash_near_dups(spark, sf_dir):
+    """MinHash-LSH at a REAL near-dup threshold (<1.0): the injected
+    one-token-appended copies have shingle-Jaccard ≥ (W-4)/(W-3) ≈
+    0.86 (min 10-word docs), far above the 0.7 candidate threshold and
+    separated from it by ≫5σ of the 128-perm signature estimate. The
+    exact verify stage (text_b = text_a + marker) keeps the output
+    SQL-mirrorable; LSH must surface every injected pair for the
+    oracle to match."""
+    from sketchlib.spark.dedup import minhash_dedup_pairs
+
+    docs = _docs_with_dups(spark, sf_dir)
+    cand = minhash_dedup_pairs(docs, num_perm=128, bands=32, threshold=0.7)
+    ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .where(F.col("text_b") == F.concat("text_a", F.lit(" " + NEAR_SUFFIX)))
+        .select("id_a", "id_b")
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
-    """Exact word-3-gram Jaccard near-dup pairs (rows-only: the gram
-    self-join is deterministic but painful to mirror in ANSI SQL)."""
+    """Exact word-3-gram Jaccard near-dup pairs over the derived dup
+    corpus. Output is integer-valued (intersection + distinct-gram
+    counts, jaccard compare done on both sides identically in IEEE
+    double) so the DuckDB mirror hashes identically — this upgrades
+    the round-1 rows-only check to an exact oracle."""
     from sketchlib.spark.dedup import ngram_jaccard_pairs
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs_with_dups(spark, sf_dir)
     out = ngram_jaccard_pairs(d, n=3, threshold=0.8)
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return out.select("id_a", "id_b", "inter", "na", "nb")
 
 
 def q_sql_interface(spark, sf_dir):
@@ -839,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_exact_hash": q_dedup_exact_hash,
         "minhash_identical": q_minhash_identical,
+        "minhash_near_dups": q_minhash_near_dups,
         "ngram_jaccard": q_ngram_jaccard,
         "sql_interface": q_sql_interface,
         "token_count": q_token_count,
@@ -910,8 +987,10 @@ def oracle_sql() -> dict[str, str]:
             "'\\w+|[^\\w\\s]')) AS n_word_tokens FROM documents"
         ),
         "simhash_near_dups": (
-            "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a "
-            "JOIN documents b ON a.text = b.text AND a.doc_id < b.doc_id"
+            f"{DERIVED_DOCS_CTE} "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM derived a "
+            "JOIN derived b ON a.doc_id < b.doc_id AND "
+            "(a.text = b.text OR b.text = a.text || ' ' || a.text)"
         ),
         "cuckoo_delete": (
             "SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS key FROM lineitem "
@@ -1011,11 +1090,36 @@ def oracle_sql() -> dict[str, str]:
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
             "SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions FROM g GROUP BY user_id"
         ),
-        "dedup_exact": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
-        "dedup_exact_hash": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
+        "dedup_exact": (
+            f"{DERIVED_DOCS_CTE} SELECT MIN(doc_id) AS doc_id FROM derived GROUP BY text"
+        ),
+        "dedup_exact_hash": (
+            f"{DERIVED_DOCS_CTE} SELECT MIN(doc_id) AS doc_id FROM derived GROUP BY text"
+        ),
         "minhash_identical": (
-            "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a "
-            "JOIN documents b ON a.text = b.text AND a.doc_id < b.doc_id"
+            f"{DERIVED_DOCS_CTE} "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM derived a "
+            "JOIN derived b ON a.text = b.text AND a.doc_id < b.doc_id"
+        ),
+        "minhash_near_dups": (
+            f"{DERIVED_DOCS_CTE} "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM derived a "
+            f"JOIN derived b ON a.doc_id < b.doc_id AND b.text = a.text || ' {NEAR_SUFFIX}'"
+        ),
+        "ngram_jaccard": (
+            f"{DERIVED_DOCS_CTE}, words AS ("
+            "SELECT doc_id, string_split(text, ' ') AS w FROM derived), "
+            "grams AS (SELECT DISTINCT doc_id, gram FROM ("
+            "SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), "
+            "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS gram FROM words)), "
+            "sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter "
+            "FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT id_a, id_b, inter, sa.n_grams AS na, sb.n_grams AS nb "
+            "FROM inter JOIN sizes sa ON id_a = sa.doc_id "
+            "JOIN sizes sb ON id_b = sb.doc_id "
+            "WHERE inter / (sa.n_grams + sb.n_grams - inter) >= 0.8"
         ),
         "token_count": f"SELECT doc_id, {tok} AS n_tokens FROM documents",
         "sql_interface": (

@@ -283,6 +283,10 @@ def ngram_jaccard_pairs(
     Pure DataFrame expression: explode distinct grams, join on gram,
     count intersections, |A∪B| = |A|+|B|−|A∩B|. Exact but O(pairs
     sharing a gram) — use on candidate subsets, not the full corpus.
+
+    Returns (id_a, id_b, inter, na, nb, jaccard) with id_a < id_b;
+    the integer columns make the result exactly comparable across
+    engines (jaccard itself is their IEEE-double ratio).
     """
     grams = (
         df.select(
@@ -325,5 +329,5 @@ def ngram_jaccard_pairs(
             F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
         )
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "inter", "na", "nb", "jaccard")
     )

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 SF001 = "/root/testdata/sf0.001"
@@ -302,16 +303,99 @@ def q_simhash_near_dups(spark, sf_dir):
     )
 
 
+def _embeddings_with_near_dups(spark, sf_dir) -> DataFrame:
+    """embeddings ∪ deterministically perturbed near-duplicate copies
+    (vec_id % 5 == 0 → vec_id + 1000000, cosine ≈ 0.993 to the
+    original — far above the ~0.45 max natural pair similarity of this
+    isotropic corpus). The perturbation is a seeded trig hash of
+    (vec_id, dim index): reproducible everywhere, no RNG state."""
+    import numpy as np
+
+    @F.pandas_udf("array<double>")
+    def perturb(vid: pd.Series, vec: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, np.float64) for v in vec])
+        n, d = mat.shape
+        ph = (
+            vid.to_numpy(np.float64)[:, None] * 12.9898
+            + np.arange(d, dtype=np.float64)[None, :] * 78.233
+        )
+        u = np.modf(np.sin(ph) * 43758.5453)[0]
+        u /= np.linalg.norm(u, axis=1, keepdims=True) + 1e-12
+        out = mat + 0.12 * np.linalg.norm(mat, axis=1, keepdims=True) * u
+        return pd.Series(list(out))
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    copies = emb.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        perturb("vec_id", "embedding").alias("embedding"),
+    )
+    return emb.unionByName(copies)
+
+
 def q_embedding_knn(spark, sf_dir):
-    """Embedding-cosine near-dup kNN inside LSH buckets (rows-only:
-    bucket boundaries are implementation-defined)."""
+    """Embedding-cosine near-dup detection via banded hyperplane LSH
+    (multi-band union + exact cosine rerank ≥ 0.9) over the derived
+    corpus with injected near-duplicates. A designed pair survives all
+    12 bands missing w.p. (1-0.955^6)^12 ≈ 4e-8, and no natural pair
+    of this corpus reaches cosine 0.9 — so the output is EXACTLY the
+    injected pair set, SQL-mirrorable and discriminating (a broken
+    LSH returns 0 rows and fails)."""
+    from sketchlib.spark.similarity import embedding_near_dup_pairs
+
+    emb = _embeddings_with_near_dups(spark, sf_dir)
+    pairs = embedding_near_dup_pairs(emb, sim_threshold=0.9, bands=12, bits_per_band=6)
+    return pairs.select("id_a", "id_b")
+
+
+def q_embedding_knn_recall(spark, sf_dir):
+    """Banded-LSH kNN vs brute force: for every injected near-dup
+    query point, its exact (brute-force) top-1 neighbor must appear in
+    the LSH top-3 — recall@1 ≥ 0.9 asserted in-query (near-dup
+    retrieval recall, the metric the LSH is built for; exhaustive kNN
+    of isotropic vectors is fundamentally not LSH-prunable and is
+    served by cosine_topk_bruteforce/IVF instead)."""
+    from pyspark.sql.window import Window
+
     from sketchlib.spark.similarity import pairwise_cosine_knn
 
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    emb = _embeddings_with_near_dups(spark, sf_dir)
+    knn = pairwise_cosine_knn(emb, k=3, bands=12, bits_per_band=6)
+    queries_df = emb.where(F.col("vec_id") >= 1000000)
+    # brute-force exact top-1 per query point (crossJoin at test scale)
+    corpus = emb.select(F.col("vec_id").alias("nb_id"), F.col("embedding").alias("nb_vec"))
+    scored = (
+        queries_df.crossJoin(corpus)
+        .where(F.col("vec_id") != F.col("nb_id"))
+        .select(
+            "vec_id",
+            "nb_id",
+            (
+                F.aggregate(
+                    F.zip_with("embedding", "nb_vec", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda s, v: s + v,
+                )
+                / (
+                    F.sqrt(F.aggregate(F.transform("embedding", lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+                    * F.sqrt(F.aggregate(F.transform("nb_vec", lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+                )
+            ).alias("sim"),
+        )
     )
-    out = pairwise_cosine_knn(emb, k=3, bits=6)
-    return out.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("nb_id"))
+    bf1 = scored.withColumn("rk", F.row_number().over(w)).where("rk = 1").select(
+        F.col("vec_id").alias("id_a"), F.col("nb_id").alias("bf_top1")
+    )
+    hits = bf1.join(
+        knn.select("id_a", F.col("id_b").alias("bf_top1")), ["id_a", "bf_top1"], "left_semi"
+    ).count()
+    n_q = bf1.count()
+    return spark.createDataFrame(
+        [(n_q, bool(hits / max(n_q, 1) >= 0.9))],
+        "n_queries long, recall_at_1_ge_09 boolean",
+    )
 
 
 def q_per_source_distinct(spark, sf_dir):
@@ -892,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_token_count": q_word_token_count,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_knn": q_embedding_knn,
+        "embedding_knn_recall": q_embedding_knn_recall,
         "cuckoo_delete": q_cuckoo_delete,
         "cuckoo_count": q_cuckoo_count,
         "bloom_membership": q_bloom_membership,
@@ -1140,6 +1225,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, COUNT(*) AS cnt FROM (SELECT unnest(regexp_split_to_array("
             "trim(text), '\\s+')) AS token FROM documents WHERE trim(coalesce(text,'')) <> '') "
             "WHERE token <> '' GROUP BY token ORDER BY cnt DESC, token LIMIT 20"
+        ),
+        "embedding_knn": (
+            "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b "
+            "FROM embeddings WHERE vec_id % 5 = 0"
+        ),
+        "embedding_knn_recall": (
+            "SELECT COUNT(*) AS n_queries, TRUE AS recall_at_1_ge_09 "
+            "FROM embeddings WHERE vec_id % 5 = 0"
         ),
         "ann_cosine_topk": (
             "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) "

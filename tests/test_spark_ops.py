@@ -228,9 +228,36 @@ def test_ivf_assignment_partitions_all_rows(spark, emb_df):
 def test_pairwise_knn_shape(spark, emb_df):
     from sketchlib.spark.similarity import pairwise_cosine_knn
 
-    out = pairwise_cosine_knn(emb_df.limit(50), k=3, bits=4)
+    out = pairwise_cosine_knn(emb_df.limit(50), k=3, bands=8, bits_per_band=3)
     counts = out.groupBy("id_a").count().collect()
     assert all(r["count"] <= 3 for r in counts)
+    # symmetric candidates: every id appearing as id_b also ranks as id_a
+    ids_a = {r.id_a for r in out.select("id_a").distinct().collect()}
+    ids_b = {r.id_b for r in out.select("id_b").distinct().collect()}
+    assert ids_b <= ids_a
+
+
+def test_embedding_near_dup_pairs_finds_planted(spark):
+    """Planted near-duplicates (tiny perturbation) must all surface
+    through the banded LSH; unrelated random vectors must not."""
+    import numpy as np
+
+    from sketchlib.spark.similarity import embedding_near_dup_pairs
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    base = rng.standard_normal((40, 32)).astype(np.float64)
+    near = base[:10] + 0.05 * rng.standard_normal((10, 32))
+    rows = [(i, list(map(float, v))) for i, v in enumerate(base)] + [
+        (100 + i, list(map(float, v))) for i, v in enumerate(near)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(df, sim_threshold=0.9, bands=12, bits_per_band=4).collect()
+    }
+    assert {(i, 100 + i) for i in range(10)} <= got
+    # no far pair sneaks past the exact cosine filter
+    assert all(b - a == 100 for a, b in got)
 
 
 # ---------------------------------------------------------------- multimodal

@@ -190,7 +190,13 @@ def q_cuckoo_membership(spark, sf_dir):
 
 def q_cuckoo_delete(spark, sf_dir):
     """Cuckoo delete (SURVEY §2.1 #5,#12): insert distinct orderkeys,
-    delete every key having an 'R' lineitem, probe the kept set."""
+    delete every key having an 'R' lineitem, probe the kept set.
+
+    NOTE: this is the SCALAR Delete API demo (reference
+    internal/filter/filter.go Delete) — the delete set is collected to
+    the driver by design, because a single merged filter's state lives
+    in one place. The data-scale path is `sharded_delete`, where
+    deletes route executor-side with no driver collection."""
     from sketchlib import CuckooConfig, CuckooFilter
     from sketchlib.spark import build_sketches, membership_udf, tree_merge
 
@@ -588,13 +594,20 @@ def q_grouped_quantiles(spark, sf_dir):
 
 
 def q_quantile_sketches_check(spark, sf_dir):
-    """KLL + t-digest quantiles of l_extendedprice within rank ε."""
+    """KLL + t-digest quantiles of l_extendedprice within rank ε —
+    both sketches folded in ONE scan (build_column_sketches), not one
+    pass each."""
     from sketchlib.sketches import KLLSketch, TDigest
-    from sketchlib.spark import build_sketches, tree_merge
+    from sketchlib.spark.webbuild import build_column_sketches, merge_web_sketches
 
     li = _t(spark, sf_dir, "lineitem").select(F.col("l_extendedprice").alias("v"))
-    kll = tree_merge(build_sketches(li, "v", lambda: KLLSketch(k=200), numeric=True))
-    td = tree_merge(build_sketches(li, "v", lambda: TDigest(100.0), numeric=True))
+    merged = merge_web_sketches(
+        build_column_sketches(
+            li, "v", {"kll": lambda: KLLSketch(k=200), "tdigest": lambda: TDigest(100.0)},
+            numeric=True,
+        )
+    )
+    kll, td = merged["kll"], merged["tdigest"]
     qs = [0.1, 0.25, 0.5, 0.75, 0.9]
     kq = kll.quantile(qs)
     tq = td.quantile(qs)
@@ -947,6 +960,53 @@ def q_ann_ivf_recall(spark, sf_dir):
     return spark.createDataFrame([(float(recall),)], "recall_at_10 double")
 
 
+def q_ann_index(spark, sf_dir):
+    """Materialized IVF ANN index: build a cell-partitioned parquet
+    index, probe it reading ONLY the probed partitions (PartitionFilters
+    asserted from the plan), and check (a) an exhaustive probe
+    (nprobe = n_cells) reproduces brute-force top-k exactly, (b) a
+    pruned probe (nprobe=4) still finds the injected near-duplicate's
+    true top-1 neighbor."""
+    import tempfile
+
+    from sketchlib.spark.similarity import (
+        build_ann_index,
+        cosine_topk_bruteforce,
+        plan_partition_filters,
+        probe_ann_index,
+    )
+
+    emb = _embeddings_with_near_dups(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="annidx-")
+    build_ann_index(emb, path, n_cells=16)
+    # query = the injected near-dup of vec 0; its true top-1 is vec 0
+    qv = list(emb.where("vec_id = 1000000").select("embedding").first()[0])
+    pruned = probe_ann_index(spark, path, qv, k=10, nprobe=4)
+    pf = plan_partition_filters(pruned)
+    partition_pruned = "cell" in pf and pf != "PartitionFilters: []"
+    pruned_ids = [r.vec_id for r in pruned.collect()]
+    full = {
+        r.vec_id for r in probe_ann_index(spark, path, qv, k=10, nprobe=16).collect()
+    }
+    exact = {r.vec_id for r in cosine_topk_bruteforce(emb, qv, k=10).collect()}
+    bf_top1 = cosine_topk_bruteforce(
+        emb.where("vec_id <> 1000000"), qv, k=1
+    ).first().vec_id
+    return spark.createDataFrame(
+        [
+            (
+                16,
+                4,
+                bool(partition_pruned),
+                bool(full == exact),
+                bool(bf_top1 in pruned_ids),
+            )
+        ],
+        "n_cells long, nprobe long, partition_pruned boolean, "
+        "full_probe_equals_bruteforce boolean, neardup_top1_found boolean",
+    )
+
+
 def q_simhash_buckets(spark, sf_dir):
     """SimHash signatures (rows-only: deterministic but non-SQL)."""
     from sketchlib.spark.dedup import simhash_udf
@@ -1011,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
+        "ann_index": q_ann_index,
         "simhash_buckets": q_simhash_buckets,
         "multimodal_decode": q_multimodal_decode,
     }
@@ -1229,6 +1290,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_knn": (
             "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b "
             "FROM embeddings WHERE vec_id % 5 = 0"
+        ),
+        "ann_index": (
+            "SELECT 16 AS n_cells, 4 AS nprobe, TRUE AS partition_pruned, "
+            "TRUE AS full_probe_equals_bruteforce, TRUE AS neardup_top1_found"
         ),
         "embedding_knn_recall": (
             "SELECT COUNT(*) AS n_queries, TRUE AS recall_at_1_ge_09 "

@@ -46,17 +46,52 @@ def dedup_exact_hash(
 # --------------------------------------------------------------- shingles / minhash
 
 
+_POLY = np.uint64(1099511628211)  # FNV prime: k-word window mixer
+
+
+def _shingle_hash_batch(texts: pd.Series, k: int = 5) -> tuple[np.ndarray, list[int]]:
+    """uint64 shingle hashes for a whole Arrow batch with NO per-shingle
+    string assembly: each WORD is hashed once (one kernel call over the
+    batch's words — ~k× fewer hashed bytes than hashing joined shingle
+    strings), then every k-word window is combined with a vectorized
+    polynomial roll. Shingle equality ≡ word-tuple equality, the same
+    (modulo hashing) as the joined-string formulation it replaces.
+
+    Returns (hashes, bounds): doc i's shingles are hashes[bounds[i]:
+    bounds[i+1]]. Docs with < k words hash their full text as the
+    single fallback shingle."""
+    split = [(t or "").split() for t in texts]
+    W = np.fromiter((len(s) for s in split), np.intp, len(split))
+    counts = np.where(W >= k, W - k + 1, 1).astype(np.intp)
+    bounds = np.concatenate(([0], np.cumsum(counts)))
+    out = np.empty(int(counts.sum()), np.uint64)
+    from itertools import chain
+
+    flat = list(chain.from_iterable(split))
+    long_mask = W >= k
+    if flat and long_mask.any():
+        h = kernels.hash64_batch(flat, "xx")
+        word_starts = np.concatenate(([0], np.cumsum(W)))[:-1]
+        m = len(h) - k + 1
+        acc = np.zeros(max(m, 0), np.uint64)
+        with np.errstate(over="ignore"):
+            for c in range(k):
+                acc = acc * _POLY + h[c : c + m]
+        nl = counts[long_mask]
+        offs = np.arange(int(nl.sum()), dtype=np.intp) - np.repeat(np.cumsum(nl) - nl, nl)
+        sel = np.repeat(word_starts[long_mask], nl) + offs
+        osel = np.repeat(bounds[:-1][long_mask], nl) + offs
+        out[osel] = acc[sel]
+    short_ix = np.nonzero(~long_mask)[0]
+    if len(short_ix):
+        sh = kernels.hash64_batch([texts.iloc[int(i)] or "" for i in short_ix], "xx")
+        out[bounds[:-1][short_ix]] = sh
+    return out, bounds.tolist()
+
+
 def _shingle_hashes(texts: pd.Series, k: int = 5) -> list[np.ndarray]:
-    """Per doc: uint64 hashes of its k-word shingles (vectorized per doc
-    batch: one kernel call over all shingles of the batch)."""
-    all_shingles: list[str] = []
-    bounds = [0]
-    for t in texts:
-        words = (t or "").split()
-        sh = [" ".join(words[i : i + k]) for i in range(max(len(words) - k + 1, 0))] or [t or ""]
-        all_shingles.extend(sh)
-        bounds.append(len(all_shingles))
-    hashes = kernels.hash64_batch(all_shingles, "xx")
+    """Per-doc view of _shingle_hash_batch (compat surface)."""
+    hashes, bounds = _shingle_hash_batch(texts, k)
     return [hashes[bounds[i] : bounds[i + 1]] for i in range(len(texts))]
 
 
@@ -110,17 +145,7 @@ def minhash_signatures(
     def sig(texts: pd.Series) -> pd.Series:
         if len(texts) == 0:
             return pd.Series([], dtype=object)
-        all_shingles: list[str] = []
-        bounds = [0]
-        for t in texts:
-            words = (t or "").split()
-            sh = [
-                " ".join(words[i : i + shingle_k])
-                for i in range(max(len(words) - shingle_k + 1, 0))
-            ] or [t or ""]
-            all_shingles.extend(sh)
-            bounds.append(len(all_shingles))
-        hashes = kernels.hash64_batch(all_shingles, "xx")
+        hashes, bounds = _shingle_hash_batch(texts, shingle_k)
         sigs = _minhash_sigs_batch(hashes, bounds, a, b).astype(np.int64)
         return pd.Series(list(sigs))
 
@@ -182,6 +207,10 @@ def minhash_dedup_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    # materialize the (pair-scale) candidates so the banded cache can be
+    # released now instead of leaking for the session's lifetime
+    cand = cand.localCheckpoint(eager=True)
+    banded.unpersist()
     sim = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
@@ -260,9 +289,11 @@ def simhash_near_dup_pairs(
         )
         pairs = p if pairs is None else pairs.unionByName(p)
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    # materialize pair-scale candidates, then release the signature cache
+    out = pairs.dropDuplicates(["id_a", "id_b"]).localCheckpoint(eager=True)
+    sh.unpersist()
     return (
-        pairs.dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", ham)
+        out.withColumn("hamming", ham)
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

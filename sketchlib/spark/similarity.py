@@ -244,6 +244,73 @@ def _lsh_candidate_pairs(
     )
 
 
+def build_ann_index(
+    df: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample: int = 4096,
+    iters: int = 5,
+    seed: int = 42,
+) -> np.ndarray:
+    """Materialize an IVF index as a WRITTEN table partitioned by cell
+    — the production ANN shape: signatures/cells computed once at
+    ingest, probes read only the probed partitions (source-level
+    partition pruning, visible as PartitionFilters in the scan).
+
+    Layout: ``path/data`` (parquet, partitionBy cell), ``path/
+    centroids`` (n_cells tiny rows). Returns the trained centroids."""
+    cent = ivf_train_centroids(df, n_cells, vec_col, sample, iters, seed)
+    assign = ivf_assign_udf(cent)
+    (
+        df.withColumn("cell", assign(F.col(vec_col)))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/data")
+    )
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cent)],
+        "cell int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    return cent
+
+
+def probe_ann_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k probe against a built index: pick the nprobe nearest
+    cells from the (tiny) centroid table, scan ONLY those partitions
+    (``cell`` is a partition column, so the IN-filter prunes at the
+    source — assert PartitionFilters in the plan), exact-rerank."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cent = np.array(
+        [r.centroid for r in sorted(cent_rows, key=lambda r: r.cell)], np.float64
+    )
+    q = np.asarray(query_vec, np.float64)
+    d = ((cent - q[None, :]) ** 2).sum(1)
+    cells = [int(c) for c in d.argsort()[:nprobe]]
+    idx = spark.read.parquet(f"{path}/data").where(F.col("cell").isin(cells))
+    return cosine_topk_bruteforce(idx, query_vec, k, vec_col, id_col)
+
+
+def plan_partition_filters(df: DataFrame) -> str:
+    """The PartitionFilters clause of the scan (plan-shape assertions)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "PartitionFilters" in line:
+            start = line.index("PartitionFilters: [")
+            return line[start : line.index("]", start) + 1]
+    return ""
+
+
 def pairwise_cosine_knn(
     df: DataFrame,
     k: int = 5,

@@ -128,6 +128,47 @@ def build_web_sketches(
     return docs_df.select(url_col, text_col).mapInArrow(fold, WEB_SKETCH_SCHEMA)
 
 
+def build_column_sketches(
+    df,
+    col: str,
+    factories: dict[str, Callable[[], object]],
+    numeric: bool = False,
+):
+    """One pass over a single column updating EVERY factory's sketch —
+    the generic sibling of build_web_sketches (e.g. KLL + t-digest
+    quantiles of the same column in one scan instead of two).
+    Returns WEB_SKETCH_SCHEMA rows; merge with merge_web_sketches."""
+
+    def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        sks = {name: fac() for name, fac in factories.items()}
+        n = 0
+        for rb in batches:
+            c = rb.column(0)
+            n += rb.num_rows
+            vals = c.to_numpy(zero_copy_only=False).astype(np.float64) if numeric else c
+            for sk in sks.values():
+                sk.update(vals)
+        for name, sk in sks.items():
+            items, fails, load = _metrics(sk)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "sketch": [name],
+                    "part_id": [pid],
+                    "n_rows": [n],
+                    "item_count": [items],
+                    "fail_count": [fails],
+                    "load_factor": [load],
+                    "state": [sk.to_bytes()],
+                },
+                schema=_PA_SCHEMA,
+            )
+
+    return df.select(col).mapInArrow(fold, WEB_SKETCH_SCHEMA)
+
+
 def merge_web_sketches(sketch_df) -> dict[str, object]:
     """Per-sketch-name two-level merge → {name: merged sketch object}.
 

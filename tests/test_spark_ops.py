@@ -14,7 +14,6 @@ from pyspark.sql import functions as F
 def test_dedup_exact_and_hash_agree(spark, docs_df):
     from sketchlib.spark.dedup import dedup_exact, dedup_exact_hash
 
-    a = {r.doc_id for r in dedup_exact(docs_df.withColumn("doc_id", F.monotonically_increasing_id())).collect()} if "doc_id" not in docs_df.columns else None
     d = docs_df.withColumn("doc_id", F.xxhash64("url"))
     ex = {r.doc_id for r in dedup_exact(d).collect()}
     hs = {r.doc_id for r in dedup_exact_hash(d).collect()}
@@ -235,6 +234,30 @@ def test_pairwise_knn_shape(spark, emb_df):
     ids_a = {r.id_a for r in out.select("id_a").distinct().collect()}
     ids_b = {r.id_b for r in out.select("id_b").distinct().collect()}
     assert ids_b <= ids_a
+
+
+def test_ann_index_partition_pruning(spark, emb_df, tmp_path):
+    """The materialized IVF index probe must prune partitions at the
+    source (PartitionFilters on cell), and an exhaustive probe must
+    reproduce brute force exactly."""
+    from sketchlib.spark.similarity import (
+        build_ann_index,
+        cosine_topk_bruteforce,
+        plan_partition_filters,
+        probe_ann_index,
+    )
+
+    path = str(tmp_path / "annidx")
+    build_ann_index(emb_df, path, n_cells=8)
+    qv = list(emb_df.where("vec_id = 1").select("embedding").first()[0])
+    pruned = probe_ann_index(spark, path, qv, k=5, nprobe=2)
+    pf = plan_partition_filters(pruned)
+    assert "cell" in pf and "IN" in pf  # source-level pruning, not a post-scan filter
+    full = [r.vec_id for r in probe_ann_index(spark, path, qv, k=5, nprobe=8).collect()]
+    exact = [r.vec_id for r in cosine_topk_bruteforce(emb_df, qv, k=5).collect()]
+    assert full == exact
+    # pruned probe returns a subset of the index, ranked
+    assert 0 < len(pruned.collect()) <= 5
 
 
 def test_embedding_near_dup_pairs_finds_planted(spark):

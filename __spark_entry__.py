@@ -784,6 +784,70 @@ def q_sessionization(spark, sf_dir):
     return marked.groupBy("user_id").agg(F.sum("new_s").alias("n_sessions"))
 
 
+def q_streaming_incremental(spark, sf_dir):
+    """Streaming surface, oracle-backed (round-1 was pytest-only): the
+    events table is replayed through a REAL Structured Streaming query
+    (readStream → foreachBatch → availableNow) that incrementally folds
+    an HLL over user_id and a CMS over event_type via the per-batch
+    build+merge path with atomic on-disk state checkpoints. The final
+    states are then gated against exact batch SQL over the same rows —
+    HLL within 3σ, CMS never undercounting any event_type."""
+    import tempfile
+
+    from sketchlib.serde import loads
+    from sketchlib.sketches import CountMinSketch, HyperLogLog
+    from sketchlib.streaming.incremental import IncrementalSketchBuilder
+
+    import os
+    import shutil
+
+    ev_path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(ev_path).schema
+    tmp = tempfile.mkdtemp(prefix="stream-oracle-")
+    # the file stream source needs a DIRECTORY (arrival order = file
+    # listing); stage the immutable test file into one
+    os.makedirs(f"{tmp}/in")
+    shutil.copy(ev_path, f"{tmp}/in/events-000.parquet")
+    hll_b = IncrementalSketchBuilder(
+        lambda: HyperLogLog(14), "user_key", f"{tmp}/hll.bin"
+    )
+    cms_b = IncrementalSketchBuilder(
+        lambda: CountMinSketch(width=4096, depth=5), "event_type", f"{tmp}/cms.bin"
+    )
+
+    def process(batch_df, batch_id):
+        keyed = batch_df.withColumn("user_key", F.col("user_id").cast("string"))
+        hll_b.process_batch(keyed, batch_id)
+        cms_b.process_batch(keyed, batch_id)
+
+    stream = spark.readStream.schema(schema).parquet(f"{tmp}/in")
+    q = (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(process)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    with open(f"{tmp}/hll.bin", "rb") as fh:
+        hll = loads(fh.read())
+    with open(f"{tmp}/cms.bin", "rb") as fh:
+        cms = loads(fh.read())
+    ev = _t(spark, sf_dir, "events")
+    n_events = ev.count()
+    exact_users = ev.select(F.col("user_id").cast("string")).distinct().count()
+    hll_ok = abs(hll.estimate() - exact_users) / max(exact_users, 1) <= 3 * hll.std_error()
+    exact_types = ev.groupBy("event_type").agg(F.count("*").alias("c")).collect()
+    est = cms.estimate([r.event_type for r in exact_types])
+    never_under = all(int(e) >= r.c for e, r in zip(est, exact_types))
+    return spark.createDataFrame(
+        [(n_events, exact_users, bool(hll_ok), bool(never_under))],
+        "n_events long, exact_distinct_users long, hll_within_bound boolean, "
+        "cms_never_under boolean",
+    )
+
+
 # --------------------------------------------------------------------- dedup / text
 
 
@@ -1057,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customer_per_nation": q_top_customer_per_nation,
         "events_window_counts": q_events_window_counts,
         "sessionization": q_sessionization,
+        "streaming_incremental": q_streaming_incremental,
         "dedup_exact": q_dedup_exact,
         "dedup_exact_hash": q_dedup_exact_hash,
         "minhash_identical": q_minhash_identical,
@@ -1229,6 +1294,11 @@ def oracle_sql() -> dict[str, str]:
         "events_window_counts": (
             "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_start, event_type, "
             "COUNT(*) AS cnt FROM events GROUP BY 1, 2"
+        ),
+        "streaming_incremental": (
+            "SELECT COUNT(*) AS n_events, "
+            "COUNT(DISTINCT CAST(user_id AS VARCHAR)) AS exact_distinct_users, "
+            "TRUE AS hll_within_bound, TRUE AS cms_never_under FROM events"
         ),
         "sessionization": (
             "WITH g AS (SELECT user_id, CASE WHEN lag(epoch(ts)) OVER w IS NULL "

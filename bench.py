@@ -27,7 +27,7 @@ if REPO not in os.environ["PYTHONPATH"].split(os.pathsep):
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "200000"))
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "800000"))
 DOCS_PARQUET = os.path.join(REPO, ".bench", f"docs_{BENCH_DOCS}.parquet")
 
 
@@ -149,19 +149,25 @@ def warmup(spark) -> None:
     ).count()
 
 
-def run_headline(spark) -> dict:
+def run_headline(spark, repeats: int = 2) -> dict:
+    """Best-of-N per query: single runs at sf0.1 are noise-bound ±20%
+    for the sub-second queries, which hides regressions round-over-
+    round; the best of two runs is a stable point estimate."""
     import __spark_entry__ as entry_mod
 
     warmup(spark)
     qs = entry_mod.queries()
     out = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = qs[name](spark, SF_DIR)
-        # noop sink forces EVERY column (count(*) would let Catalyst
-        # prune expensive projection columns out of the plan)
-        df.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            df = qs[name](spark, SF_DIR)
+            # noop sink forces EVERY column (count(*) would let Catalyst
+            # prune expensive projection columns out of the plan)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
     return out
 
 

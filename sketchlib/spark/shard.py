@@ -7,9 +7,12 @@ per-task memory constant at any scale:
 * build: repartition rows by ``pmod(xxhash64(key), num_shards)``; each
   shard builds ONE filter of capacity/num_shards (mapInArrow fold);
   the result table (shard_id, state, metrics) is the filter.
-* probe: repartition probes by the same function, join shard states by
-  shard_id (broadcast when the shard table is small; co-partitioned
-  sort-merge join when not), answer each probe batch vectorized.
+* probe: zero-shuffle broadcast lookup while total state fits the
+  broadcast budget (blobs broadcast once per executor, probes answered
+  on their scan partitions); above it, a cogroup on shard_id — probes
+  shuffle once (key bytes only), each shard's state moves exactly
+  once. State bytes are NEVER attached per probe row (a join would
+  shuffle |probes| × |shard state| bytes).
 
 No cross-shard merge exists or is needed — the shard table is the
 distributed filter, and per-shard merge (same geometry) still works
@@ -172,51 +175,77 @@ def probe_sharded(
 ) -> DataFrame:
     """→ probes + boolean ``member`` column.
 
-    Probes are grouped by their shard and answered with one vectorized
-    lookup per group. The shard table joins in by one of two plans:
+    Two plans, picked by total filter size (``state_bytes``; measured
+    with one tiny aggregation when not supplied — persist the shard
+    table, it is the filter):
 
-    * total state ≤ ``broadcast_threshold_bytes``: broadcast-hash join
-      (no shuffle of the shard table, probes keep their partitioning).
-    * larger (the 10^12-key regime, where total state is ~2 bytes/key):
-      co-partitioned shuffle-hash join on shard_id — each task receives
-      only its own shard's state, never the whole table.
+    * ≤ ``broadcast_threshold_bytes``: ZERO-SHUFFLE — the shard blobs
+      broadcast once per executor (deserialized once per worker, LRU'd),
+      probes stay on their scan partitions and each Arrow batch is
+      answered in place, vectorized per shard group. Never attaches
+      state to probe rows: attaching via join would shuffle
+      |probes| × |shard state| bytes — data-scale × state-scale.
+    * larger (the 10^12-key regime): COGROUP on shard_id — probes
+      shuffle once (key bytes only), each shard's state moves exactly
+      once to meet its probe group, per-task memory = one shard.
 
-    ``state_bytes``: caller-known total state size; when None it is
-    measured with one tiny aggregation over ``shard_df`` (persist the
-    shard table first — it is the filter, you will probe it repeatedly).
-
-    LEFT join semantics: probes hashing to a shard with no row (nothing
-    was ever inserted there) come back ``member = false`` instead of
-    being dropped."""
+    Probes hashing to a shard with no state row (nothing was inserted
+    there) come back ``member = false`` — never dropped."""
+    import numpy as np
     import pandas as pd
 
     if state_bytes is None:
         state_bytes = (
             shard_df.select(F.sum(F.length("state")).alias("b")).first().b or 0
         )
-    states = shard_df.select("shard_id", "state")
-    if state_bytes <= broadcast_threshold_bytes:
-        states = F.broadcast(states)
-    else:
-        # shuffle-hash: hash the (small-per-partition) state side, never
-        # sort data-scale probes; co-partitioned on shard_id
-        states = states.hint("shuffle_hash")
     keyed = probes.withColumn("shard_id", _shard_col(key_col, num_shards))
-    joined = keyed.join(states, "shard_id", "left")
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in keyed.schema.fields
+    ) + ", member boolean"
 
-    def lookup(pdf: pd.DataFrame) -> pd.DataFrame:
-        blob = pdf["state"].iloc[0]
-        out = pdf.drop(columns=["state"])
-        if blob is None:
+    if state_bytes <= broadcast_threshold_bytes:
+        spark = probes.sparkSession
+        blobs = {
+            int(r.shard_id): bytes(r.state)
+            for r in shard_df.select("shard_id", "state").collect()
+        }
+        bc = spark.sparkContext.broadcast(blobs)
+
+        def probe_batches(batches):
+            cache: dict[int, object] = {}
+            for pdf in batches:
+                member = np.zeros(len(pdf), bool)
+                if len(pdf):
+                    for sid, idx in pdf.groupby("shard_id").indices.items():
+                        blob = bc.value.get(int(sid))
+                        if blob is None:
+                            continue  # empty shard: member stays False
+                        f = cache.get(int(sid))
+                        if f is None:
+                            f = loads(blob)
+                            cache[int(sid)] = f
+                        fn = getattr(f, "lookup_batch", None) or f.contains
+                        member[idx] = np.asarray(fn(pdf[key_col].iloc[idx]), bool)
+                out = pdf.copy()
+                out["member"] = member
+                yield out
+
+        return keyed.mapInPandas(probe_batches, out_schema)
+
+    def lookup(probe_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
+        if probe_pdf.empty:
+            return pd.DataFrame({c: [] for c in list(probe_pdf.columns) + ["member"]})
+        out = probe_pdf.copy()
+        if state_pdf.empty:
             out["member"] = False  # empty shard: key was never inserted
             return out
-        f = loads(blob)
+        f = loads(state_pdf["state"].iloc[0])
         fn = getattr(f, "lookup_batch", None) or f.contains
-        out["member"] = fn(pdf[key_col])
+        out["member"] = np.asarray(fn(probe_pdf[key_col]), bool)
         return out
 
-    out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in keyed.schema.fields
-    ) + ", member boolean"
-    return joined.groupBy("shard_id").applyInPandas(lookup, out_schema)
+    return (
+        keyed.groupBy("shard_id")
+        .cogroup(shard_df.groupBy("shard_id"))
+        .applyInPandas(lookup, out_schema)
+    )

@@ -107,9 +107,11 @@ def doc_fingerprint_udf(window: int = 8):
                 windows.extend(b[i : i + window] for i in range(0, len(b) - window + 1, step))
             bounds.append(len(windows))
         h = kernels.hash64_batch(windows, "xx")
-        for i in range(len(texts)):
-            seg = h[bounds[i] : bounds[i + 1]]
-            out[i] = np.int64(int(seg.min()) - (1 << 63)) if len(seg) else 0
+        if len(h):
+            # every doc contributes ≥1 window (empty text → b"") so one
+            # segmented reduce replaces the per-doc Python min loop
+            mins = np.minimum.reduceat(h, np.asarray(bounds[:-1], np.intp))
+            out[:] = (mins - np.uint64(1 << 63)).astype(np.int64)
         return pd.Series(out)
 
     return fingerprint

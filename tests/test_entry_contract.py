@@ -23,11 +23,9 @@ def test_registry_shape():
     assert rows_only == {
         "ann_lsh_recall",
         "ann_ivf_recall",
-        "ngram_jaccard",
         "simhash_buckets",
         "multimodal_decode",
         "doc_fingerprint",
-        "embedding_knn",
     }
 
 

@@ -364,20 +364,25 @@ def test_delete_sharded_plan_fully_distributed(spark, docs_df):
 
 
 def test_probe_sharded_broadcast_and_copartitioned_paths(spark, docs_df):
-    """Small shard tables broadcast; above the threshold the probe joins
-    co-partitioned (shuffle-hash) so no task ever holds the whole
-    filter. Both paths answer identically."""
+    """Small shard tables: zero-shuffle broadcast lookup (no Exchange
+    at all in the probe plan). Above the threshold: cogroup — probes
+    shuffle once, state moves once per shard, and state bytes are
+    never attached per probe row. Both paths answer identically."""
     from sketchlib.spark.shard import build_sharded, probe_sharded
 
     keys = docs_df.select(F.col("url").alias("key"))
     shards = build_sharded(keys, "key", num_shards=4, cfg=_cfg()).persist()
+    shards.count()
     small = probe_sharded(keys, "key", shards, 4)
     plan_small = small._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan_small
+    assert "MapInPandas" in plan_small
+    probe_side = plan_small.split("MapInPandas")[-1]
+    assert "Exchange" not in probe_side  # zero-shuffle probe
+    assert small.where("member").count() == 1000
     big = probe_sharded(keys, "key", shards, 4, broadcast_threshold_bytes=0)
     plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan_big
     assert "BroadcastHashJoin" not in plan_big
-    assert "ShuffledHashJoin" in plan_big
     assert big.where("member").count() == 1000
     shards.unpersist()
 

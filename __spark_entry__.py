@@ -923,6 +923,47 @@ def q_ngram_jaccard(spark, sf_dir):
     return out.select("id_a", "id_b", "inter", "na", "nb")
 
 
+def _derived_dup_pair_edges(spark, sf_dir) -> DataFrame:
+    """The designed duplicate relation over the derived corpus as three
+    hash equi-joins (identical text / near-suffix / doubled text) —
+    the exact edge set the recursive oracle mirrors."""
+    d = _docs_with_dups(spark, sf_dir)
+    ta = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    tb = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    same = ta.join(tb, F.col("text_b") == F.col("text_a"))
+    near = ta.join(tb, F.col("text_b") == F.concat("text_a", F.lit(" " + NEAR_SUFFIX)))
+    dbl = ta.join(tb, F.col("text_b") == F.concat("text_a", F.lit(" "), "text_a"))
+    return (
+        same.unionByName(near)
+        .unionByName(dbl)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def q_dedup_components(spark, sf_dir):
+    """Duplicate-cluster resolution: connected components over the
+    designed dup edges via Pregel-style min-label propagation (one
+    shuffle per round, lineage truncated per round). Exact oracle: a
+    DuckDB recursive CTE computing min-reachable-id per doc."""
+    from sketchlib.spark.dedup import connected_components
+
+    d = _docs_with_dups(spark, sf_dir)
+    pairs = _derived_dup_pair_edges(spark, sf_dir)
+    return connected_components(pairs, d.select("doc_id")).select("doc_id", "component")
+
+
+def q_dedup_canonical(spark, sf_dir):
+    """End product of the near-dup pipeline: keep exactly one doc (the
+    min-id representative) per duplicate cluster; singletons survive."""
+    from sketchlib.spark.dedup import dedup_canonical
+
+    d = _docs_with_dups(spark, sf_dir)
+    pairs = _derived_dup_pair_edges(spark, sf_dir)
+    return dedup_canonical(d, pairs).select("doc_id")
+
+
 def q_sql_interface(spark, sf_dir):
     """Pure SQL surface (spark.sql over temp views): revenue per
     order-priority — proves the engine is also driveable as SQL."""
@@ -1126,6 +1167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_hash": q_dedup_exact_hash,
         "minhash_identical": q_minhash_identical,
         "minhash_near_dups": q_minhash_near_dups,
+        "dedup_components": q_dedup_components,
+        "dedup_canonical": q_dedup_canonical,
         "ngram_jaccard": q_ngram_jaccard,
         "sql_interface": q_sql_interface,
         "token_count": q_token_count,
@@ -1321,6 +1364,30 @@ def oracle_sql() -> dict[str, str]:
             f"{DERIVED_DOCS_CTE} "
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM derived a "
             f"JOIN derived b ON a.doc_id < b.doc_id AND b.text = a.text || ' {NEAR_SUFFIX}'"
+        ),
+        "dedup_components": (
+            DERIVED_DOCS_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+            + ", pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM derived a JOIN derived b ON a.doc_id < b.doc_id AND "
+            f"(a.text = b.text OR b.text = a.text || ' {NEAR_SUFFIX}' "
+            "OR b.text = a.text || ' ' || a.text)), "
+            "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "reach(id, r) AS (SELECT doc_id, doc_id FROM derived "
+            "UNION SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id) "
+            "SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id"
+        ),
+        "dedup_canonical": (
+            DERIVED_DOCS_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+            + ", pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM derived a JOIN derived b ON a.doc_id < b.doc_id AND "
+            f"(a.text = b.text OR b.text = a.text || ' {NEAR_SUFFIX}' "
+            "OR b.text = a.text || ' ' || a.text)), "
+            "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "reach(id, r) AS (SELECT doc_id, doc_id FROM derived "
+            "UNION SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id) "
+            "SELECT id AS doc_id FROM reach GROUP BY id HAVING MIN(r) = id"
         ),
         "ngram_jaccard": (
             f"{DERIVED_DOCS_CTE}, words AS ("

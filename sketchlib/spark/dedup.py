@@ -299,6 +299,71 @@ def simhash_near_dup_pairs(
     )
 
 
+# ------------------------------------------------------- duplicate clusters
+
+
+def connected_components(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, component) labels for duplicate-cluster resolution:
+    component = min id reachable through the (undirected) pair edges.
+    Singletons label themselves.
+
+    Pregel-style min-label propagation: each iteration joins current
+    labels across edges and keeps the per-vertex min — one shuffle per
+    iteration, converging in O(log diameter) rounds (dup clusters are
+    near-cliques, so 2-3 rounds in practice; max_iter bounds
+    pathological chains). Lineage is truncated per round
+    (localCheckpoint) so plans stay O(1) deep — the standard iterative-
+    algorithm shape on Spark. Convergence is detected by an exact
+    label-sum fixpoint (monotone decreasing)."""
+    sym = (
+        pairs.select(F.col(pair_a).alias("src"), F.col(pair_b).alias("dst"))
+        .unionByName(pairs.select(F.col(pair_b).alias("src"), F.col(pair_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("component")).first()[0] or 0
+    for _ in range(max_iter):
+        prop = (
+            sym.join(labels, sym.src == labels.id)
+            .select(F.col("dst").alias("id"), "component")
+        )
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("component")).first()[0] or 0
+        if cur_sum == prev_sum:  # monotone ⇒ equal sum = fixpoint
+            break
+        prev_sum = cur_sum
+    sym.unpersist()
+    return labels.select(F.col("id").alias(id_col), "component")
+
+
+def dedup_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Keep exactly one doc per duplicate cluster (the min-id
+    representative) — the end product of a near-dup pipeline: LSH
+    pairs → components → canonical set."""
+    comp = connected_components(pairs, df.select(id_col), id_col, max_iter=max_iter)
+    keep = comp.where(F.col(id_col) == F.col("component")).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
 # --------------------------------------------------------------- ngram jaccard
 
 

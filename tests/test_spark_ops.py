@@ -81,6 +81,22 @@ def test_simhash_near_dup_pairs(spark):
     assert (1, 3) not in got
 
 
+def test_connected_components_chain_and_singleton(spark):
+    """A 5-node chain forces multiple propagation rounds (min label
+    must travel the diameter); singletons keep their own id."""
+    from sketchlib.spark.dedup import connected_components, dedup_canonical
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a long, id_b long"
+    )
+    verts = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 99]], "doc_id long")
+    comp = {r.doc_id: r.component for r in connected_components(pairs, verts).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 99: 99}
+    docs = verts.withColumn("text", F.concat(F.lit("t"), "doc_id"))
+    kept = {r.doc_id for r in dedup_canonical(docs, pairs).collect()}
+    assert kept == {1, 10, 99}
+
+
 def test_ngram_jaccard_pairs(spark):
     from sketchlib.spark.dedup import ngram_jaccard_pairs
 

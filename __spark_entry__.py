@@ -1013,6 +1013,28 @@ def q_top_tokens(spark, sf_dir):
     return top_k_tokens(_t(spark, sf_dir, "documents"), k=20)
 
 
+def q_doc_split(spark, sf_dir):
+    """Deterministic hash-based train/val/test split (md5-keyed, stable
+    under repartitioning; identical expression mirrored in DuckDB)."""
+    from sketchlib.spark.text import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", hash_split("doc_id").alias("split"))
+
+
+def q_repetition_ratio(spark, sf_dir):
+    """Word-3-gram repetition quality signal: (total, distinct) gram
+    counts per doc — exact integers, SQL-mirrorable. The doubled-text
+    injected copies are the positive cases (≈2× total, same distinct)."""
+    from sketchlib.spark.text import ngram_repetition_cols
+
+    d = _docs_with_dups(spark, sf_dir)
+    total, distinct = ngram_repetition_cols()
+    return d.select(
+        "doc_id", total.alias("total_grams"), distinct.alias("distinct_grams")
+    )
+
+
 def q_doc_fingerprint(spark, sf_dir):
     from sketchlib.spark.text import doc_fingerprint_udf
 
@@ -1175,6 +1197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "top_tokens": q_top_tokens,
+        "doc_split": q_doc_split,
+        "repetition_ratio": q_repetition_ratio,
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_recall": q_ann_lsh_recall,
@@ -1418,6 +1442,19 @@ def oracle_sql() -> dict[str, str]:
             "length(coalesce(text,'')) - length(regexp_replace(coalesce(text,''), "
             "'[^\\w\\s]', '', 'g')) AS n_punct, "
             f"{stop_terms} AS n_stopwords FROM documents"
+        ),
+        "doc_split": (
+            "SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' "
+            "THEN 'train' WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' "
+            "THEN 'val' ELSE 'test' END AS split FROM documents"
+        ),
+        "repetition_ratio": (
+            f"{DERIVED_DOCS_CTE}, words AS ("
+            "SELECT doc_id, string_split(text, ' ') AS w FROM derived), "
+            "grams AS (SELECT doc_id, list_transform(range(1, greatest(len(w) - 1, 2)), "
+            "i -> concat_ws(' ', w[i], w[i+1], w[i+2])) AS g FROM words) "
+            "SELECT doc_id, len(g) AS total_grams, "
+            "len(list_distinct(g)) AS distinct_grams FROM grams"
         ),
         "top_tokens": (
             "SELECT token, COUNT(*) AS cnt FROM (SELECT unnest(regexp_split_to_array("

@@ -174,17 +174,19 @@ def minhash_dedup_pairs(
 
     @F.pandas_udf("array<long>")
     def band_keys(sig: pd.Series) -> pd.Series:
-        out = []
-        for s in sig:
-            m = np.asarray(s, np.uint64).reshape(bands, rows_per_band)
-            # fold each band to one 64-bit key (order-sensitive mix)
-            key = np.zeros(bands, np.uint64)
-            with np.errstate(over="ignore"):
-                for c in range(rows_per_band):
-                    key = key * U64(1099511628211) + m[:, c]
-                key = (key ^ (np.arange(bands, dtype=np.uint64) << U64(56)))
-            out.append(key.astype(np.int64))
-        return pd.Series(out)
+        if len(sig) == 0:
+            return pd.Series([], dtype=object)
+        # (n_docs, bands, rows_per_band) → fold each band to one 64-bit
+        # key with a polynomial mix, fully vectorized across the batch
+        m = np.stack([np.asarray(s, np.uint64) for s in sig]).reshape(
+            len(sig), bands, rows_per_band
+        )
+        key = np.zeros((len(sig), bands), np.uint64)
+        with np.errstate(over="ignore"):
+            for c in range(rows_per_band):
+                key = key * U64(1099511628211) + m[:, :, c]
+            key ^= np.arange(bands, dtype=np.uint64)[None, :] << U64(56)
+        return pd.Series(list(key.astype(np.int64)))
 
     # persist: both sides of the band self-join read this frame — without
     # it the signature UDF recomputes per side (at warehouse scale you'd

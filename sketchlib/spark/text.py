@@ -117,6 +117,37 @@ def doc_fingerprint_udf(window: int = 8):
     return fingerprint
 
 
+def hash_split(
+    key_col: str, train: float = 0.8, val: float = 0.1, hex_digits: int = 4
+) -> Column:
+    """Deterministic hash-based train/val/test assignment — the split a
+    training pipeline needs: stable under repartitioning/reordering,
+    row-count-gap proof, and reproducible across ENGINES (md5 of the
+    stringified key; fixed-width lowercase hex compares identically
+    lexicographically and numerically, so the same expression runs in
+    Spark and any SQL engine with md5). Pure JVM expression — no UDF."""
+    scale = 16**hex_digits
+    t_hex = format(int(train * scale), f"0{hex_digits}x")
+    v_hex = format(int((train + val) * scale), f"0{hex_digits}x")
+    hx = F.substring(F.md5(F.col(key_col).cast("string")), 1, hex_digits)
+    return (
+        F.when(hx < t_hex, "train").when(hx < v_hex, "val").otherwise("test")
+    )
+
+
+def ngram_repetition_cols(text_col: str = "text", n: int = 3) -> tuple[Column, Column]:
+    """(total_ngrams, distinct_ngrams) over word n-grams — the
+    repetition-ratio quality signal (1 - distinct/total) that catches
+    boilerplate/looping text. Pure JVM higher-order functions."""
+    c = F.col(text_col)
+    words = F.split(c, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return F.size(grams), F.size(F.array_distinct(grams))
+
+
 def top_k_tokens(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
     """Exact global top-k tokens (count desc, token asc tiebreak).
 

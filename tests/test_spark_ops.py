@@ -81,6 +81,38 @@ def test_simhash_near_dup_pairs(spark):
     assert (1, 3) not in got
 
 
+def test_hash_split_stable_and_proportional(spark):
+    """Split is reproducible, partition-independent, and ~80/10/10."""
+    from sketchlib.spark.text import hash_split
+
+    d = spark.range(5000).select(F.col("id").alias("doc_id"))
+    s1 = d.select("doc_id", hash_split("doc_id").alias("split"))
+    counts = {r.split: r.cnt for r in s1.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    assert abs(counts["val"] / 5000 - 0.1) < 0.02
+    assert abs(counts["test"] / 5000 - 0.1) < 0.02
+    # repartitioning must not move any row between splits
+    s2 = d.repartition(17).select("doc_id", hash_split("doc_id").alias("split"))
+    assert s1.exceptAll(s2).count() == 0
+
+
+def test_ngram_repetition_doubled_text(spark):
+    """Doubling a text ~doubles total grams but not distinct grams —
+    the repetition signal a quality filter thresholds on."""
+    from sketchlib.spark.text import ngram_repetition_cols
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " " + base)], "doc_id long, text string"
+    )
+    total, distinct = ngram_repetition_cols()
+    rows = {r.doc_id: r for r in df.select("doc_id", total.alias("t"), distinct.alias("d")).collect()}
+    r1, r2 = rows[1], rows[2]
+    assert r1.t == r1.d == 8  # 10 words -> 8 trigrams, all distinct
+    assert r2.t == 18 and r2.d == 10  # doubled: 18 grams, 10 distinct
+    assert (1 - r2.d / r2.t) > 0.4 > (1 - r1.d / r1.t)
+
+
 def test_connected_components_chain_and_singleton(spark):
     """A 5-node chain forces multiple propagation rounds (min label
     must travel the diameter); singletons keep their own id."""

@@ -1134,6 +1134,39 @@ def q_ann_index(spark, sf_dir):
     )
 
 
+def q_lsh_index(spark, sf_dir):
+    """Materialized hyperplane-LSH index (sig-partitioned parquet): a
+    Hamming-ball probe reads only its partitions (PartitionFilters
+    asserted), an exhaustive probe (radius = bits) reproduces brute
+    force exactly, and the injected near-duplicate's true top-1 is
+    found within radius 2."""
+    import tempfile
+
+    from sketchlib.spark.similarity import (
+        build_lsh_index,
+        cosine_topk_bruteforce,
+        plan_partition_filters,
+        probe_lsh_index,
+    )
+
+    emb = _embeddings_with_near_dups(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="lshidx-")
+    build_lsh_index(emb, path, bits=8)
+    qv = list(emb.where("vec_id = 1000000").select("embedding").first()[0])
+    pruned = probe_lsh_index(spark, path, qv, k=10, max_hamming=2)
+    pf = plan_partition_filters(pruned)
+    partition_pruned = "sig" in pf and pf != "PartitionFilters: []"
+    pruned_ids = [r.vec_id for r in pruned.collect()]
+    full = {r.vec_id for r in probe_lsh_index(spark, path, qv, k=10, max_hamming=8).collect()}
+    exact = {r.vec_id for r in cosine_topk_bruteforce(emb, qv, k=10).collect()}
+    bf_top1 = cosine_topk_bruteforce(emb.where("vec_id <> 1000000"), qv, k=1).first().vec_id
+    return spark.createDataFrame(
+        [(8, 2, bool(partition_pruned), bool(full == exact), bool(bf_top1 in pruned_ids))],
+        "bits long, max_hamming long, partition_pruned boolean, "
+        "full_probe_equals_bruteforce boolean, neardup_top1_found boolean",
+    )
+
+
 def q_simhash_buckets(spark, sf_dir):
     """SimHash signatures (rows-only: deterministic but non-SQL)."""
     from sketchlib.spark.dedup import simhash_udf
@@ -1204,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
         "ann_index": q_ann_index,
+        "lsh_index": q_lsh_index,
         "simhash_buckets": q_simhash_buckets,
         "multimodal_decode": q_multimodal_decode,
     }
@@ -1467,6 +1501,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_index": (
             "SELECT 16 AS n_cells, 4 AS nprobe, TRUE AS partition_pruned, "
+            "TRUE AS full_probe_equals_bruteforce, TRUE AS neardup_top1_found"
+        ),
+        "lsh_index": (
+            "SELECT 8 AS bits, 2 AS max_hamming, TRUE AS partition_pruned, "
             "TRUE AS full_probe_equals_bruteforce, TRUE AS neardup_top1_found"
         ),
         "embedding_knn_recall": (

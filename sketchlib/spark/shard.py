@@ -46,6 +46,7 @@ def build_sharded(
     num_shards: int,
     cfg: CuckooConfig | None = None,
     factory=None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """→ one row per shard (SHARD_SCHEMA). Exactly one task per shard.
 
@@ -53,7 +54,15 @@ def build_sharded(
     sketch (any membership sketch with update/lookup_batch-or-contains);
     default builds a CuckooFilter with capacity/num_shards geometry —
     total state across shards stays ~capacity × 2 bytes regardless of
-    shard count, the property that makes this the 10^12-key path."""
+    shard count, the property that makes this the 10^12-key path.
+
+    ``checkpoint_dir``: per-shard resume lineage (north rule), same
+    contract as build_sketches — each task atomically publishes its
+    finished shard row (``shard-{id}.arrow``); a resumed run re-emits
+    published rows instead of re-folding those shards. Valid because
+    the shard→rows assignment is the build's own hash partitioner
+    (stable for a given key set and num_shards, unlike scan-partition
+    ids)."""
     if factory is None:
         if cfg is None:
             raise ValueError("need cfg or factory")
@@ -73,19 +82,8 @@ def build_sharded(
     keyed = keyed.repartition(num_shards, "shard_id")
 
     def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        filters: dict[int, CuckooFilter] = {}
-        counts: dict[int, int] = {}
-        for rb in batches:
-            keys = rb.column("key")
-            shards = rb.column("shard_id").to_numpy()
-            # a task normally owns one shard; group defensively anyway
-            import numpy as np
+        import os
 
-            for sid in np.unique(shards):
-                mask = shards == sid
-                f = filters.setdefault(int(sid), factory())
-                f.insert_batch(keys.filter(pa.array(mask)))
-                counts[int(sid)] = counts.get(int(sid), 0) + int(mask.sum())
         out_schema = pa.schema(
             [
                 ("shard_id", pa.int32()),
@@ -96,8 +94,36 @@ def build_sharded(
                 ("state", pa.binary()),
             ]
         )
+        filters: dict[int, CuckooFilter] = {}
+        counts: dict[int, int] = {}
+        resumed: dict[int, pa.Table] = {}
+
+        def ckpt_path(sid: int) -> str:
+            return os.path.join(checkpoint_dir, f"shard-{sid:06d}.arrow")
+
+        for rb in batches:
+            keys = rb.column("key")
+            shards = rb.column("shard_id").to_numpy()
+            # a task normally owns one shard; group defensively anyway
+            import numpy as np
+
+            for sid in np.unique(shards):
+                sid_i = int(sid)
+                if checkpoint_dir and sid_i not in resumed and sid_i not in filters:
+                    p = ckpt_path(sid_i)
+                    if os.path.exists(p):
+                        with pa.memory_map(p) as src:
+                            resumed[sid_i] = pa.ipc.open_file(src).read_all()
+                if sid_i in resumed:
+                    continue  # shard already published: skip the fold
+                mask = shards == sid
+                f = filters.setdefault(sid_i, factory())
+                f.insert_batch(keys.filter(pa.array(mask)))
+                counts[sid_i] = counts.get(sid_i, 0) + int(mask.sum())
+        for table in resumed.values():
+            yield from table.to_batches()
         for sid, f in filters.items():
-            yield pa.RecordBatch.from_pydict(
+            out = pa.RecordBatch.from_pydict(
                 {
                     "shard_id": [sid],
                     "n_rows": [counts[sid]],
@@ -108,6 +134,14 @@ def build_sharded(
                 },
                 schema=out_schema,
             )
+            if checkpoint_dir:
+                os.makedirs(checkpoint_dir, exist_ok=True)
+                tmp = os.path.join(checkpoint_dir, f".shard-{sid:06d}.tmp")
+                with pa.OSFile(tmp, "wb") as sink:
+                    with pa.ipc.new_file(sink, out_schema) as w:
+                        w.write_batch(out)
+                os.rename(tmp, ckpt_path(sid))  # atomic publish = lineage record
+            yield out
 
     return keyed.mapInArrow(fold, SHARD_SCHEMA)
 

@@ -81,23 +81,76 @@ def cosine_topk_lsh(
     sig_udf = hyperplane_signature_udf(dim, bits, seed)
     with_sig = df.withColumn("sig", sig_udf(F.col(vec_col)))
 
+    qsig = _query_signature(query_vec, bits, seed)
+    probes = _hamming_ball(qsig, bits, max_hamming)
+    cand = with_sig.where(F.col("sig").isin(probes))
+    return cosine_topk_bruteforce(cand, query_vec, k, vec_col, id_col)
+
+
+def _query_signature(query_vec: list[float], bits: int, seed: int) -> int:
     rng = np.random.Generator(np.random.PCG64(seed))
-    planes = rng.standard_normal((bits, dim)).astype(np.float32)
+    planes = rng.standard_normal((bits, len(query_vec))).astype(np.float32)
     q = np.asarray(query_vec, np.float32)
-    qsig = 0
+    sig = 0
     for b in range(bits):
         if float(planes[b] @ q) > 0:
-            qsig |= 1 << b
-    # enumerate probe signatures within the hamming radius
-    probes = {qsig}
-    if max_hamming >= 1:
-        probes |= {qsig ^ (1 << b) for b in range(bits)}
-    if max_hamming >= 2:
-        probes |= {
-            qsig ^ (1 << b1) ^ (1 << b2) for b1 in range(bits) for b2 in range(b1)
-        }
-    cand = with_sig.where(F.col("sig").isin([int(p) for p in probes]))
-    return cosine_topk_bruteforce(cand, query_vec, k, vec_col, id_col)
+            sig |= 1 << b
+    return sig
+
+
+def _hamming_ball(sig: int, bits: int, radius: int) -> list[int]:
+    """All signatures within Hamming distance `radius` of `sig`."""
+    ball = {sig}
+    frontier = {sig}
+    for _ in range(radius):
+        frontier = {s ^ (1 << b) for s in frontier for b in range(bits)} - ball
+        ball |= frontier
+    return sorted(ball)
+
+
+def build_lsh_index(
+    df: DataFrame,
+    path: str,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> None:
+    """Materialize a hyperplane-LSH index as a WRITTEN table partitioned
+    by signature — the sibling of build_ann_index for the LSH path:
+    signatures computed once at ingest, probes read only the partitions
+    inside the query's Hamming ball (PartitionFilters at the source).
+    Params live in ``path/params`` so probes re-derive the planes."""
+    dim = int(df.select(F.size(vec_col).alias("d")).first().d)
+    sig_udf = hyperplane_signature_udf(dim, bits, seed)
+    (
+        df.withColumn("sig", sig_udf(F.col(vec_col)))
+        .write.mode("overwrite")
+        .partitionBy("sig")
+        .parquet(f"{path}/data")
+    )
+    df.sparkSession.createDataFrame(
+        [(bits, seed, dim)], "bits int, seed int, dim int"
+    ).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def probe_lsh_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    max_hamming: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k probe reading ONLY the Hamming-ball partitions of a built
+    LSH index, then exact rerank. ``max_hamming = bits`` degenerates to
+    an exhaustive (exact) scan of the index."""
+    p = spark.read.parquet(f"{path}/params").first()
+    qsig = _query_signature(query_vec, p.bits, p.seed)
+    ball = _hamming_ball(qsig, p.bits, max_hamming)
+    idx = spark.read.parquet(f"{path}/data").where(F.col("sig").isin(ball))
+    return cosine_topk_bruteforce(idx, query_vec, k, vec_col, id_col)
 
 
 def ivf_train_centroids(

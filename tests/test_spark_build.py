@@ -387,6 +387,31 @@ def test_probe_sharded_broadcast_and_copartitioned_paths(spark, docs_df):
     shards.unpersist()
 
 
+def test_sharded_build_checkpoint_resume(spark, docs_df, tmp_path):
+    """North-rule lineage on the sharded path: a resumed build re-emits
+    the atomically published shard rows byte-identically instead of
+    re-folding, and partial checkpoints only skip the finished shards."""
+    import os
+
+    from sketchlib.spark.shard import build_sharded
+
+    keys = docs_df.select(F.col("url").alias("key"))
+    ck = str(tmp_path / "shard-ck")
+    first = build_sharded(keys, "key", num_shards=4, cfg=_cfg(), checkpoint_dir=ck)
+    rows1 = {r.shard_id: bytes(r.state) for r in first.collect()}
+    assert len(os.listdir(ck)) == 4  # one published row per shard
+    resumed = build_sharded(keys, "key", num_shards=4, cfg=_cfg(), checkpoint_dir=ck)
+    rows2 = {r.shard_id: bytes(r.state) for r in resumed.collect()}
+    assert rows1 == rows2  # byte-identical resume
+    # partial lineage: drop one shard's record -> only that shard rebuilds
+    victim = sorted(rows1)[0]
+    os.remove(os.path.join(ck, f"shard-{victim:06d}.arrow"))
+    partial = build_sharded(keys, "key", num_shards=4, cfg=_cfg(), checkpoint_dir=ck)
+    rows3 = {r.shard_id: bytes(r.state) for r in partial.collect()}
+    assert rows3 == rows1  # deterministic rebuild matches the original
+    assert len(os.listdir(ck)) == 4  # record republished
+
+
 def test_sharded_empty_shards_probe_and_delete(spark):
     """Probes and deletes that hash to a shard with no state row:
     probes come back member=false (left join, not dropped); deletes are

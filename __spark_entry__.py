@@ -1035,6 +1035,41 @@ def q_repetition_ratio(spark, sf_dir):
     )
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII detection + redaction over a corpus with deterministically
+    injected emails/phones (doc_id%6 / doc_id%13): per-doc counts
+    before and after the scrub, all exact integers. Patterns live in
+    the Java-regex ∩ RE2 subset so the DuckDB mirror is exact."""
+    from sketchlib.spark.text import pii_counts, scrub_pii
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat("text", F.lit(" reach me at user"), F.col("doc_id").cast("string"),
+                     F.lit("@example.com")),
+        )
+        .when(F.col("doc_id") % 13 == 0, F.concat("text", F.lit(" call 555-123-4567 now")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    n_email, n_phone = pii_counts()
+    scrubbed = injected.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_phone.alias("n_phones"),
+        scrub_pii().alias("text"),
+    )
+    n_email2, n_phone2 = pii_counts()
+    return scrubbed.select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        (n_email2 + n_phone2).cast("long").alias("n_pii_after_scrub"),
+    )
+
+
 def q_doc_fingerprint(spark, sf_dir):
     from sketchlib.spark.text import doc_fingerprint_udf
 
@@ -1232,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens": q_top_tokens,
         "doc_split": q_doc_split,
         "repetition_ratio": q_repetition_ratio,
+        "pii_scrub": q_pii_scrub,
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_recall": q_ann_lsh_recall,
@@ -1476,6 +1512,21 @@ def oracle_sql() -> dict[str, str]:
             "length(coalesce(text,'')) - length(regexp_replace(coalesce(text,''), "
             "'[^\\w\\s]', '', 'g')) AS n_punct, "
             f"{stop_terms} AS n_stopwords FROM documents"
+        ),
+        "pii_scrub": (
+            "WITH injected AS (SELECT doc_id, CASE "
+            "WHEN doc_id % 6 = 0 THEN text || ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com' "
+            "WHEN doc_id % 13 = 0 THEN text || ' call 555-123-4567 now' "
+            "ELSE text END AS text FROM documents), "
+            "scrubbed AS (SELECT doc_id, "
+            "len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails, "
+            "len(regexp_extract_all(text, '\\d{3}-\\d{3}-\\d{4}')) AS n_phones, "
+            "regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g') AS text FROM injected) "
+            "SELECT doc_id, n_emails, n_phones, "
+            "len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) + "
+            "len(regexp_extract_all(text, '\\d{3}-\\d{3}-\\d{4}')) AS n_pii_after_scrub "
+            "FROM scrubbed"
         ),
         "doc_split": (
             "SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' "

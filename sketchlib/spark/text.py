@@ -148,6 +148,31 @@ def ngram_repetition_cols(text_col: str = "text", n: int = 3) -> tuple[Column, C
     return F.size(grams), F.size(F.array_distinct(grams))
 
 
+# Patterns restricted to the Java-regex ∩ RE2 common subset (no
+# backrefs/lookaround) so Spark and any RE2-based engine agree exactly.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+
+def pii_counts(text_col: str = "text") -> tuple[Column, Column]:
+    """(n_emails, n_phones) per doc — the PII-detection signal a
+    training pipeline filters/audits on. Pure JVM regexp."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    return (
+        F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), 0)),
+        F.size(F.regexp_extract_all(c, F.lit(PII_PHONE_RE), 0)),
+    )
+
+
+def scrub_pii(text_col: str = "text") -> Column:
+    """Redact emails/phones with typed placeholders (the standard
+    pretraining scrub): deterministic, idempotent, JVM-side."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    return F.regexp_replace(
+        F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+    )
+
+
 def top_k_tokens(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
     """Exact global top-k tokens (count desc, token asc tiebreak).
 

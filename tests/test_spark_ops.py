@@ -81,6 +81,29 @@ def test_simhash_near_dup_pairs(spark):
     assert (1, 3) not in got
 
 
+def test_pii_scrub_redacts_and_is_idempotent(spark):
+    from sketchlib.spark.text import pii_counts, scrub_pii
+
+    rows = [
+        (1, "mail a.b-c_d@sub.example.org and 212-555-0147 twice 212-555-0148"),
+        (2, "no pii here"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ne, np_ = pii_counts()
+    got = {r.doc_id: (r.e, r.p, r.s) for r in df.select(
+        "doc_id", ne.alias("e"), np_.alias("p"), scrub_pii().alias("s")).collect()}
+    assert got[1][:2] == (1, 2)
+    assert "<EMAIL>" in got[1][2] and got[1][2].count("<PHONE>") == 2
+    assert "@" not in got[1][2]
+    assert got[2] == (0, 0, "no pii here")
+    assert got[3] == (0, 0, "")
+    # idempotent: scrubbing scrubbed text changes nothing
+    scrubbed = df.select("doc_id", scrub_pii().alias("text"))
+    again = scrubbed.select("doc_id", scrub_pii().alias("text"))
+    assert scrubbed.exceptAll(again).count() == 0
+
+
 def test_hash_split_stable_and_proportional(spark):
     """Split is reproducible, partition-independent, and ~80/10/10."""
     from sketchlib.spark.text import hash_split

@@ -1070,6 +1070,47 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
+def q_corpus_prepare(spark, sf_dir):
+    """End-to-end training-corpus preparation as ONE declarative plan:
+    PII scrub → exact-hash dedup (the only shuffle) → quality gate
+    (token floor + repetition ceiling) → hash split assignment.
+    Catalyst fuses scrub/quality/split into scan-side projections; a
+    100 TB run shuffles only 8-byte digests once. Fully SQL-mirrored."""
+    from sketchlib.spark.text import hash_split, ngram_repetition_cols, scrub_pii, token_count
+
+    d = _docs_with_dups(spark, sf_dir)
+    total, distinct = ngram_repetition_cols()
+    # all per-doc metrics computed scan-side over the scrubbed text;
+    # the ONLY shuffle carries (digest, doc_id, 3 ints) — never text.
+    # min(struct) picks the min-id representative per digest group with
+    # its metrics attached, so no join-back is needed (at 100 TB a
+    # keep-ids ⋈ corpus join would be a second data-scale shuffle).
+    metrics = d.select(
+        "doc_id", scrub_pii().alias("text")
+    ).select(
+        F.xxhash64("text").alias("_th"),
+        F.struct(
+            F.col("doc_id"),
+            token_count("text").alias("n_tok"),
+            total.alias("tg"),
+            distinct.alias("dg"),
+        ).alias("m"),
+    )
+    quality = (
+        metrics.groupBy("_th")
+        .agg(F.min("m").alias("m"))
+        .select("m.doc_id", "m.n_tok", "m.tg", "m.dg")
+        # repetition ceiling at 0.6 drops the doubled-text injected docs
+        # (distinct/total ≈ 0.5) while natural docs sit near 1.0
+        .where((F.col("n_tok") >= 10) & (F.col("dg") >= F.col("tg") * 0.6))
+    )
+    return quality.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        hash_split("doc_id").alias("split"),
+    )
+
+
 def q_doc_fingerprint(spark, sf_dir):
     from sketchlib.spark.text import doc_fingerprint_udf
 
@@ -1268,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split": q_doc_split,
         "repetition_ratio": q_repetition_ratio,
         "pii_scrub": q_pii_scrub,
+        "corpus_prepare": q_corpus_prepare,
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_recall": q_ann_lsh_recall,
@@ -1512,6 +1554,21 @@ def oracle_sql() -> dict[str, str]:
             "length(coalesce(text,'')) - length(regexp_replace(coalesce(text,''), "
             "'[^\\w\\s]', '', 'g')) AS n_punct, "
             f"{stop_terms} AS n_stopwords FROM documents"
+        ),
+        "corpus_prepare": (
+            f"{DERIVED_DOCS_CTE}, scrubbed AS (SELECT doc_id, "
+            "regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "'<EMAIL>', 'g'), '\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g') AS text FROM derived), "
+            "deduped AS (SELECT MIN(doc_id) AS doc_id, text FROM scrubbed GROUP BY text), "
+            "grams AS (SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tok, "
+            "list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 2)), "
+            "i -> concat_ws(' ', string_split(text, ' ')[i], string_split(text, ' ')[i+1], "
+            "string_split(text, ' ')[i+2])) AS g FROM deduped) "
+            "SELECT doc_id, n_tok AS n_tokens, "
+            "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train' "
+            "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val' "
+            "ELSE 'test' END AS split "
+            "FROM grams WHERE n_tok >= 10 AND len(list_distinct(g)) >= len(g) * 0.6"
         ),
         "pii_scrub": (
             "WITH injected AS (SELECT doc_id, CASE "

@@ -152,6 +152,42 @@ def test_connected_components_chain_and_singleton(spark):
     assert kept == {1, 10, 99}
 
 
+def test_connected_components_differential_union_find(spark):
+    """Differential gate: random graphs vs a reference union-find."""
+    import numpy as np
+
+    from sketchlib.spark.dedup import connected_components
+
+    rng = np.random.Generator(np.random.PCG64(123))
+    for trial in range(4):
+        n = int(rng.integers(10, 60))
+        m = int(rng.integers(0, n * 2))
+        edges = [(int(a), int(b)) for a, b in rng.integers(0, n, (m, 2)) if a != b]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonicalize reference labels to min-of-component
+        comp_min: dict[int, int] = {}
+        for v in range(n):
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        expect = {v: comp_min[find(v)] for v in range(n)}
+
+        pairs = spark.createDataFrame(edges or [(0, 0)], "id_a long, id_b long")
+        verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        got = {r.doc_id: r.component for r in connected_components(pairs, verts).collect()}
+        assert got == expect, f"trial {trial} mismatch"
+
+
 def test_ngram_jaccard_pairs(spark):
     from sketchlib.spark.dedup import ngram_jaccard_pairs
 

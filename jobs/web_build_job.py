@@ -35,6 +35,12 @@ import os
 import sys
 import time
 
+# spark-submit ships sketchlib via --py-files; a direct `python
+# jobs/web_build_job.py` run gets it from the repo root instead
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()

@@ -164,7 +164,13 @@ def ivf_train_centroids(
     """IVF coarse quantizer: k-means on a driver-side sample (the
     standard recipe — FAISS trains on samples too; at 100 TB the sample
     is still thousands of rows). Deterministic (seeded init, fixed
-    iteration count). Returns (k, dim) float32 centroids."""
+    iteration count). Returns (k, dim) float32 centroids.
+
+    NOTE on sampling at scale: ``limit(n)`` reads the first partitions,
+    which is fine for hash-distributed ids but biased for time- or
+    host-clustered layouts — there, pass a pre-sampled frame
+    (``df.sample(fraction, seed)``) so the quantizer sees the whole
+    distribution."""
     rows = df.select(vec_col).limit(sample).collect()
     x = np.array([r[0] for r in rows], np.float32)
     rng = np.random.Generator(np.random.PCG64(seed))

@@ -319,6 +319,8 @@ def _embeddings_with_near_dups(spark, sf_dir) -> DataFrame:
 
     @F.pandas_udf("array<double>")
     def perturb(vid: pd.Series, vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
         mat = np.stack([np.asarray(v, np.float64) for v in vec])
         n, d = mat.shape
         ph = (
@@ -828,7 +830,9 @@ def q_streaming_incremental(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming replay did not finish within 300s")
 
     with open(f"{tmp}/hll.bin", "rb") as fh:
         hll = loads(fh.read())
@@ -1529,7 +1533,7 @@ def oracle_sql() -> dict[str, str]:
             f"{DERIVED_DOCS_CTE}, words AS ("
             "SELECT doc_id, string_split(text, ' ') AS w FROM derived), "
             "grams AS (SELECT DISTINCT doc_id, gram FROM ("
-            "SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), "
+            "SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 2)), "
             "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS gram FROM words)), "
             "sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id), "
             "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter "

@@ -55,10 +55,18 @@ class CountMinSketch(MergeableSketch):
         # per-bin sums stay < 2^53; beyond that use exact int64
         # scatter-adds; fractional weights are ROUNDED, not truncated
         if np.issubdtype(w.dtype, np.integer) and float(np.abs(w.astype(np.float64)).sum()) >= 2**52:
+            # exact-sum branch; int64 is the counts dtype, so weights
+            # outside its range cannot be represented — refuse loudly
+            # instead of wrapping (which would undercount and break the
+            # one-sided-error contract)
+            wmax = int(w.astype(object).max())
+            wmin = int(w.astype(object).min())
+            if wmax > np.iinfo(np.int64).max or wmin < np.iinfo(np.int64).min:
+                raise ValueError("CMS weights must fit int64 (counts dtype)")
             w64 = w.astype(np.int64)
             for j in range(self.depth):
                 np.add.at(self.counts[j], cols[j], w64)
-            self.total += int(w64.sum())
+            self.total += int(w.astype(object).sum())  # exact, no int64 overflow
             return
         wf = w.astype(np.float64)
         for j in range(self.depth):

@@ -110,8 +110,14 @@ def build_sketches(
             n += rb.num_rows
         out = _row_batch(pid, n, sk)
         if checkpoint_dir:
+            import uuid
+
             os.makedirs(checkpoint_dir, exist_ok=True)
-            tmp = os.path.join(checkpoint_dir, f".part-{pid:05d}.tmp")
+            # attempt-unique tmp: speculative/retry attempts must not
+            # interleave writes into one file; rename stays atomic
+            tmp = os.path.join(
+                checkpoint_dir, f".part-{pid:05d}.tmp-{uuid.uuid4().hex[:8]}"
+            )
             done = os.path.join(checkpoint_dir, f"part-{pid:05d}.arrow")
             with pa.OSFile(tmp, "wb") as sink:
                 with pa.ipc.new_file(sink, _SKETCH_PA_SCHEMA) as w:

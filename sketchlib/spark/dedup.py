@@ -316,14 +316,16 @@ def connected_components(
     component = min id reachable through the (undirected) pair edges.
     Singletons label themselves.
 
-    Pregel-style min-label propagation: each iteration joins current
-    labels across edges and keeps the per-vertex min — one shuffle per
-    iteration, converging in O(log diameter) rounds (dup clusters are
-    near-cliques, so 2-3 rounds in practice; max_iter bounds
-    pathological chains). Lineage is truncated per round
-    (localCheckpoint) so plans stay O(1) deep — the standard iterative-
-    algorithm shape on Spark. Convergence is detected by an exact
-    label-sum fixpoint (monotone decreasing)."""
+    Pregel-style min-label propagation with POINTER JUMPING: each round
+    (a) propagates labels one hop across edges and keeps the per-vertex
+    min, then (b) replaces every label by its label's label
+    (label[label[v]], path halving) — so label distance-to-root halves
+    each round and convergence is O(log diameter), not O(diameter).
+    Dup clusters are near-cliques (1-2 rounds); max_iter bounds
+    pathological chains, and exhausting it RAISES rather than silently
+    returning split components. Lineage is truncated per round
+    (localCheckpoint) so plans stay O(1) deep. Convergence is detected
+    by an exact label-sum fixpoint (monotone decreasing)."""
     sym = (
         pairs.select(F.col(pair_a).alias("src"), F.col(pair_b).alias("dst"))
         .unionByName(pairs.select(F.col(pair_b).alias("src"), F.col(pair_a).alias("dst")))
@@ -333,22 +335,39 @@ def connected_components(
     labels = vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
     labels = labels.localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("component")).first()[0] or 0
+    converged = False
     for _ in range(max_iter):
         prop = (
             sym.join(labels, sym.src == labels.id)
             .select(F.col("dst").alias("id"), "component")
         )
-        labels = (
+        stepped = (
             labels.unionByName(prop)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer jumping: component <- label(component) (labels cover
+        # every vertex and component values are vertex ids, so the
+        # lookup always hits; min() guards monotonicity)
+        lut = labels.select(
+            F.col("id").alias("component"), F.col("component").alias("cc")
+        )
+        labels = (
+            stepped.join(lut, "component", "left")
+            .select("id", F.least("component", F.coalesce("cc", "component")).alias("component"))
             .localCheckpoint(eager=True)
         )
         cur_sum = labels.agg(F.sum("component")).first()[0] or 0
         if cur_sum == prev_sum:  # monotone ⇒ equal sum = fixpoint
+            converged = True
             break
         prev_sum = cur_sum
     sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (components with diameter > 2^max_iter)"
+        )
     return labels.select(F.col("id").alias(id_col), "component")
 
 

@@ -135,8 +135,16 @@ def build_sharded(
                 schema=out_schema,
             )
             if checkpoint_dir:
+                import uuid
+
                 os.makedirs(checkpoint_dir, exist_ok=True)
-                tmp = os.path.join(checkpoint_dir, f".shard-{sid:06d}.tmp")
+                # attempt-unique tmp: concurrent speculative/retry
+                # attempts must never interleave writes into one file;
+                # rename stays atomic and last-writer-wins is safe
+                # (attempts produce identical bytes)
+                tmp = os.path.join(
+                    checkpoint_dir, f".shard-{sid:06d}.tmp-{uuid.uuid4().hex[:8]}"
+                )
                 with pa.OSFile(tmp, "wb") as sink:
                     with pa.ipc.new_file(sink, out_schema) as w:
                         w.write_batch(out)
@@ -214,11 +222,14 @@ def probe_sharded(
     table, it is the filter):
 
     * ≤ ``broadcast_threshold_bytes``: ZERO-SHUFFLE — the shard blobs
-      broadcast once per executor (deserialized once per worker, LRU'd),
+      broadcast once per executor (each worker deserializes a shard at
+      most once per call; the cache is bounded by the broadcast budget),
       probes stay on their scan partitions and each Arrow batch is
       answered in place, vectorized per shard group. Never attaches
       state to probe rows: attaching via join would shuffle
       |probes| × |shard state| bytes — data-scale × state-scale.
+      The broadcast lives as long as the returned DataFrame (callers
+      probing in a loop should materialize promptly).
     * larger (the 10^12-key regime): COGROUP on shard_id — probes
       shuffle once (key bytes only), each shard's state moves exactly
       once to meet its probe group, per-task memory = one shard.

@@ -52,6 +52,8 @@ def hyperplane_signature_udf(dim: int, bits: int = 16, seed: int = 42):
 
     @F.pandas_udf("int")
     def sig(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
         mat = np.stack([np.asarray(v, np.float32) for v in vecs])
         bitsmat = (mat @ planes.T) > 0
         out = np.zeros(len(vecs), np.int64)
@@ -194,6 +196,8 @@ def ivf_assign_udf(centroids: np.ndarray):
 
     @F.pandas_udf("int")
     def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
         mat = np.stack([np.asarray(v, np.float32) for v in vecs])
         # ||x-c||^2 = ||x||^2 - 2 x·c + ||c||^2 ; ||x||^2 constant per row
         d = -2.0 * (mat @ c.T) + c_norms[None, :]
@@ -240,6 +244,8 @@ def banded_signature_udf(dim: int, bands: int = 12, bits_per_band: int = 6, seed
 
     @F.pandas_udf("array<long>")
     def sig(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
         mat = np.stack([np.asarray(v, np.float32) for v in vecs])
         bitsmat = (mat @ planes.T) > 0  # (n, bands*bits)
         packed = (

@@ -99,6 +99,21 @@ def test_cms_weighted_update():
     assert s.total == 15
 
 
+def test_cms_giant_int_weights_exact_and_range_checked():
+    s = CountMinSketch(width=64, depth=3)
+    s.update(["a"], weights=np.array([2**60 + 3], dtype=np.uint64))
+    assert int(s.estimate(["a"])[0]) >= 2**60 + 3  # exact, not float-truncated
+    assert s.total == 2**60 + 3
+    # weights beyond the int64 counts dtype must refuse loudly, never
+    # wrap negative (which would undercount — one-sided-error contract)
+    import pytest
+
+    with pytest.raises(ValueError, match="int64"):
+        CountMinSketch(width=64, depth=3).update(
+            ["x"], weights=np.array([2**63], dtype=np.uint64)
+        )
+
+
 # ------------------------------------------------------------------ kll / tdigest
 
 

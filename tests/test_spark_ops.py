@@ -152,6 +152,19 @@ def test_connected_components_chain_and_singleton(spark):
     assert kept == {1, 10, 99}
 
 
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 60-edge chain converges in O(log d) rounds (pointer jumping),
+    well inside max_iter=10 — plain one-hop propagation would need 60
+    rounds and previously returned silently-wrong splits."""
+    from sketchlib.spark.dedup import connected_components
+
+    n = 61
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    comp = {r.doc_id: r.component for r in connected_components(pairs, verts, max_iter=10).collect()}
+    assert set(comp.values()) == {0}
+
+
 def test_connected_components_differential_union_find(spark):
     """Differential gate: random graphs vs a reference union-find."""
     import numpy as np

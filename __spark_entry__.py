@@ -643,6 +643,24 @@ def q_membership_anti_join(spark, sf_dir):
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
 
 
+def q_bloom_join_pruning(spark, sf_dir):
+    """Sketch-accelerated semi-join: lineitems of high-priority orders,
+    pre-filtered by a broadcast Bloom over the (selective) order-key
+    set before the exact join. No false negatives ⇒ the result equals
+    the plain semi-join exactly — the oracle — while the join shuffle
+    carries only Bloom survivors (~selectivity + fp_rate of the probe
+    side) instead of every lineitem."""
+    from sketchlib.spark.udfs import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    out = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey", fp_rate=0.001)
+    return out.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
+
+
 def q_set_ops(spark, sf_dir):
     """Set operations (SURVEY §2.2): customers-with-orders INTERSECT
     high-balance customers; UNION and EXCEPT branches too."""
@@ -1017,6 +1035,30 @@ def q_top_tokens(spark, sf_dir):
     return top_k_tokens(_t(spark, sf_dir, "documents"), k=20)
 
 
+def q_top_tokens_per_source(spark, sf_dir):
+    """Grouped top-k: the 5 most frequent tokens PER source (window
+    rank over a two-phase agg) — the per-domain vocabulary profile a
+    corpus audit needs. Deterministic tiebreak (count desc, token)."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            F.col("source").cast("string").alias("source"),
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("cnt").desc(), F.col("token"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("source", "token", "cnt", F.col("rk").cast("long").alias("rk"))
+    )
+
+
 def q_doc_split(spark, sf_dir):
     """Deterministic hash-based train/val/test split (md5-keyed, stable
     under repartitioning; identical expression mirrored in DuckDB)."""
@@ -1289,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_quantiles": q_grouped_quantiles,
         "membership_semi_join": q_membership_semi_join,
         "membership_anti_join": q_membership_anti_join,
+        "bloom_join_pruning": q_bloom_join_pruning,
         "set_ops": q_set_ops,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
@@ -1310,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "top_tokens": q_top_tokens,
+        "top_tokens_per_source": q_top_tokens_per_source,
         "doc_split": q_doc_split,
         "repetition_ratio": q_repetition_ratio,
         "pii_scrub": q_pii_scrub,
@@ -1426,6 +1470,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         "membership_anti_join": (
             "SELECT c_custkey FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
+        ),
+        "bloom_join_pruning": (
+            "SELECT l_orderkey, COUNT(*) AS n_items, "
+            "ROUND(SUM(l_extendedprice), 2) AS total_price FROM lineitem "
+            "WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
+            "WHERE o_orderpriority = '1-URGENT') GROUP BY l_orderkey"
+        ),
+        "top_tokens_per_source": (
+            "WITH counts AS (SELECT CAST(source AS VARCHAR) AS source, token, "
+            "COUNT(*) AS cnt FROM (SELECT source, unnest(regexp_split_to_array("
+            "trim(text), '\\s+')) AS token FROM documents "
+            "WHERE trim(coalesce(text,'')) <> '') WHERE token <> '' "
+            "GROUP BY source, token) "
+            "SELECT source, token, cnt, rk FROM ("
+            "SELECT source, token, cnt, ROW_NUMBER() OVER ("
+            "PARTITION BY source ORDER BY cnt DESC, token) AS rk FROM counts) "
+            "WHERE rk <= 5"
         ),
         "set_ops": (
             "WITH wo AS (SELECT c_custkey FROM customer WHERE c_custkey IN "

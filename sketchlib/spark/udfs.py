@@ -71,6 +71,46 @@ def hash_indices_udf(num_buckets: int, strategy: str = "fnv", bits: int = 8):
     return indices
 
 
+def bloom_semi_join(
+    left,
+    right,
+    left_key: str,
+    right_key: str | None = None,
+    fp_rate: float = 0.001,
+    capacity: int | None = None,
+):
+    """Sketch-accelerated semi-join (the classic runtime-filter
+    optimization, built from THIS library's Bloom filter): build a
+    Bloom over the right side's keys (zero-shuffle fold + tree merge,
+    KBs of state), broadcast it, pre-filter the left side scan-side,
+    then run the exact semi-join on the survivors only.
+
+    Result is EXACTLY ``left semi-join right`` (no false negatives ⇒
+    the pre-filter never drops a matching row; the exact join removes
+    the ~fp_rate false positives). What changes is the PLAN: the
+    join's shuffle carries |matches| + fp_rate·|left| rows instead of
+    |left| — at 100 TB with a selective right side that is the whole
+    cost of the join."""
+    from ..sketches import BloomFilter
+    from .build import build_sketches
+    from .merge import tree_merge
+
+    right_key = right_key or left_key
+    spark = left.sparkSession
+    rk = right.select(F.col(right_key).cast("string").alias("k")).distinct()
+    cap = capacity or max(rk.count(), 64)
+    bloom = tree_merge(
+        build_sketches(rk, "k", lambda: BloomFilter(capacity=cap, fp_rate=fp_rate))
+    )
+    if bloom is None:  # right side empty (zero build partitions): semi-join is empty
+        return left.where(F.lit(False))
+    member = membership_udf(spark, bloom)
+    pruned = left.where(member(F.col(left_key).cast("string")))
+    return pruned.join(
+        right, pruned[left_key] == right[right_key], "left_semi"
+    )
+
+
 def cms_heavy_hitters(
     df,
     key_col: str,

@@ -273,6 +273,29 @@ def test_sharded_build_probe(spark, docs_df):
     assert fp <= 10
 
 
+def test_bloom_semi_join_exact_and_pruning(spark):
+    """Result == plain semi-join exactly (no false negatives); the
+    Bloom pre-filter genuinely shrinks the join's probe side to
+    ~selectivity + fp_rate of the left input."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.sketches import BloomFilter
+    from sketchlib.spark import build_sketches, membership_udf, tree_merge
+    from sketchlib.spark.udfs import bloom_semi_join
+
+    left = spark.range(20000).select(F.concat(F.lit("k"), "id").alias("key"))
+    right = spark.range(0, 20000, 40).select(F.concat(F.lit("k"), "id").alias("key"))  # 2.5%
+    got = {r.key for r in bloom_semi_join(left, right, "key", fp_rate=0.001).collect()}
+    want = {r.key for r in left.join(right, "key", "left_semi").collect()}
+    assert got == want and len(got) == 500
+    # measure the pruning the operator's plan relies on
+    bloom = tree_merge(
+        build_sketches(right.select(F.col("key")), "key", lambda: BloomFilter(capacity=1000, fp_rate=0.001))
+    )
+    survivors = left.where(membership_udf(spark, bloom)("key")).count()
+    assert survivors < 20000 * 0.05  # ≥95% of the probe side pruned
+
+
 def test_cms_heavy_hitters_operator(spark):
     from pyspark.sql import functions as F
 

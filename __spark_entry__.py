@@ -870,6 +870,64 @@ def q_streaming_incremental(spark, sf_dir):
     )
 
 
+def q_streaming_stateful(spark, sf_dir):
+    """Stateful streaming, oracle-backed: events replay through
+    applyInPandasWithState (per-user HLL over event_type held in the
+    engine's state store), memory-sink the per-key running estimates,
+    and gate every key against exact batch SQL — per-key distinct
+    within max(3σ·n, 2) (linear-counting regime at micro
+    cardinalities). Moves the custom-stateful-operator surface from
+    pytest-only to the driver's exact-compare gate."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from sketchlib.sketches import HyperLogLog
+    from sketchlib.streaming.stateful import hll_distinct_by_key
+
+    ev_path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(ev_path).schema
+    tmp = tempfile.mkdtemp(prefix="stateful-oracle-")
+    import os
+
+    os.makedirs(f"{tmp}/in")
+    shutil.copy(ev_path, f"{tmp}/in/events-000.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(f"{tmp}/in")
+        .select(F.col("user_id").cast("string").alias("user_key"), "event_type")
+    )
+    out = hll_distinct_by_key(stream.groupBy("user_key"), lambda: HyperLogLog(14))
+    sink = f"stateful_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stateful replay did not finish within 300s")
+    # availableNow on one file = one micro-batch ⇒ one (final) row per key
+    est = spark.table(sink).select(
+        F.col("key").alias("user_id"), "estimate"
+    )
+    exact = _t(spark, sf_dir, "events").groupBy(
+        F.col("user_id").cast("string").alias("user_id")
+    ).agg(F.countDistinct("event_type").alias("exact_distinct"))
+    bound = 3 * HyperLogLog(14).std_error()
+    return est.join(exact, "user_id").select(
+        "user_id",
+        "exact_distinct",
+        (
+            F.abs(F.col("estimate") - F.col("exact_distinct"))
+            <= F.greatest(F.col("exact_distinct") * F.lit(float(bound)), F.lit(2.0))
+        ).alias("within_bound"),
+    )
+
+
 # --------------------------------------------------------------------- dedup / text
 
 
@@ -1341,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_counts": q_events_window_counts,
         "sessionization": q_sessionization,
         "streaming_incremental": q_streaming_incremental,
+        "streaming_stateful": q_streaming_stateful,
         "dedup_exact": q_dedup_exact,
         "dedup_exact_hash": q_dedup_exact_hash,
         "minhash_identical": q_minhash_identical,
@@ -1538,6 +1597,11 @@ def oracle_sql() -> dict[str, str]:
         "events_window_counts": (
             "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_start, event_type, "
             "COUNT(*) AS cnt FROM events GROUP BY 1, 2"
+        ),
+        "streaming_stateful": (
+            "SELECT CAST(user_id AS VARCHAR) AS user_id, "
+            "COUNT(DISTINCT event_type) AS exact_distinct, TRUE AS within_bound "
+            "FROM events GROUP BY 1"
         ),
         "streaming_incremental": (
             "SELECT COUNT(*) AS n_events, "

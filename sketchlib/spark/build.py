@@ -83,8 +83,12 @@ def build_sketches(
     """``df`` → one sketch row per partition (SKETCH_ROW_SCHEMA).
 
     ``factory`` runs once per task on the executor and must be a
-    picklable zero-arg callable returning a fresh sketch. ``numeric``
-    converts the key column to float64 (KLL/t-digest inputs).
+    picklable zero-arg callable returning a fresh sketch — in
+    particular it must NOT close over DataFrames or the SparkSession
+    (hoist e.g. ``capacity=df.count()`` into a local first, or the
+    closure capture fails with CONTEXT_ONLY_VALID_ON_DRIVER).
+    ``numeric`` converts the key column to float64 (KLL/t-digest
+    inputs).
     """
 
     def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:

@@ -294,6 +294,9 @@ def test_bloom_semi_join_exact_and_pruning(spark):
     )
     survivors = left.where(membership_udf(spark, bloom)("key")).count()
     assert survivors < 20000 * 0.05  # ≥95% of the probe side pruned
+    # empty build side: result is the (empty) exact semi-join, not a crash
+    none_match = right.where("key = 'nope'")
+    assert bloom_semi_join(left, none_match, "key").count() == 0
 
 
 def test_cms_heavy_hitters_operator(spark):

@@ -1216,10 +1216,29 @@ def q_corpus_prepare(spark, sf_dir):
 
 
 def q_doc_fingerprint(spark, sf_dir):
+    """Winnowing fingerprints, upgraded from rows-only to a property
+    oracle: fingerprints are deterministic (recompute ⇒ identical) and
+    content-keyed (exact text copies ⇒ equal fingerprint). NOTE:
+    distinct texts may legitimately SHARE fingerprints — winnowing
+    exists to make documents with shared 64-byte substrings collide
+    (this template-heavy synthetic corpus measures ~192 distinct
+    fingerprints over 500 docs), so no distinctness claim is made."""
     from sketchlib.spark.text import doc_fingerprint_udf
 
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", doc_fingerprint_udf()(F.col("text")).alias("fingerprint"))
+    d = _docs_with_dups(spark, sf_dir)
+    fp = doc_fingerprint_udf()
+    fps = d.select("doc_id", "text", fp(F.col("text")).alias("f1"), fp(F.col("text")).alias("f2"))
+    n = fps.count()
+    deterministic = fps.where(F.col("f1") != F.col("f2")).count() == 0
+    a = fps.select(F.col("text").alias("ta"), F.col("f1").alias("fa"))
+    b = fps.select(F.col("text").alias("tb"), F.col("f1").alias("fb"))
+    copies_differ = (
+        a.join(b, F.col("ta") == F.col("tb")).where(F.col("fa") != F.col("fb")).count()
+    )
+    return spark.createDataFrame(
+        [(n, bool(deterministic), bool(copies_differ == 0))],
+        "n_docs long, deterministic boolean, copies_equal boolean",
+    )
 
 
 # --------------------------------------------------------------------- similarity / multimodal
@@ -1348,19 +1367,68 @@ def q_lsh_index(spark, sf_dir):
 
 
 def q_simhash_buckets(spark, sf_dir):
-    """SimHash signatures (rows-only: deterministic but non-SQL)."""
+    """SimHash signature properties, upgraded from rows-only to an
+    exact oracle: identical texts hash identically, and doubled texts
+    (2× every token count ⇒ identical vote signs) hash identically to
+    their originals — Charikar's content-weighting, checked over the
+    derived dup corpus."""
     from sketchlib.spark.dedup import simhash_udf
 
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash_udf()(F.col("text")).alias("simhash"))
+    d = _docs_with_dups(spark, sf_dir)
+    sh = d.select("doc_id", "text", simhash_udf()(F.col("text")).alias("sig"))
+    n = sh.count()
+    a = sh.select(F.col("text").alias("ta"), F.col("sig").alias("sa"))
+    b = sh.select(F.col("text").alias("tb"), F.col("sig").alias("sb"))
+    same_text_differ = (
+        a.join(b, F.col("ta") == F.col("tb")).where(F.col("sa") != F.col("sb")).count()
+    )
+    dbl_differ = (
+        a.join(b, F.col("tb") == F.concat("ta", F.lit(" "), "ta"))
+        .where(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    return spark.createDataFrame(
+        [(n, bool(same_text_differ == 0), bool(dbl_differ == 0))],
+        "n_docs long, identical_text_same_sig boolean, doubled_text_same_sig boolean",
+    )
 
 
 def q_multimodal_decode(spark, sf_dir):
-    """Binary media plumbing: decode-stub via mapInPandas (rows-only)."""
+    """Binary media plumbing (decode stub — codec libs absent), upgraded
+    from rows-only to a verdict oracle: decode is deterministic
+    (re-decode ⇒ identical rows), shapes are valid, features normalized,
+    images single-frame."""
     from sketchlib.spark.multimodal import decode_media, synth_media_table
 
     media = synth_media_table(spark, n=64)
-    return decode_media(media).select("doc_id", "media_type", "width", "height", "n_frames")
+    cols = ["doc_id", "media_type", "width", "height", "n_frames"]
+    d1 = decode_media(media).select(*cols)
+    d2 = decode_media(media).select(*cols)
+    n = d1.count()
+    deterministic = d1.exceptAll(d2).count() == 0 and d2.exceptAll(d1).count() == 0
+    full = decode_media(media)
+    shapes_valid = (
+        full.where(
+            (F.col("width") < 1) | (F.col("height") < 1) | (F.col("n_frames") < 1)
+        ).count()
+        == 0
+    )
+    feat_ok = (
+        full.select(
+            F.abs(
+                F.aggregate("feature", F.lit(0.0), lambda s, v: s + v) - F.lit(1.0)
+            ).alias("d")
+        )
+        .where(F.col("d") > 1e-5)
+        .count()
+        == 0
+    )
+    img_single = full.where((F.col("media_type") == "image") & (F.col("n_frames") != 1)).count() == 0
+    return spark.createDataFrame(
+        [(n, bool(deterministic), bool(shapes_valid), bool(feat_ok), bool(img_single))],
+        "n_media long, deterministic boolean, shapes_valid boolean, "
+        "features_normalized boolean, images_single_frame boolean",
+    )
 
 
 # --------------------------------------------------------------------- registry
@@ -1735,6 +1803,18 @@ def oracle_sql() -> dict[str, str]:
         "embedding_knn": (
             "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b "
             "FROM embeddings WHERE vec_id % 5 = 0"
+        ),
+        "simhash_buckets": (
+            f"{DERIVED_DOCS_CTE} SELECT COUNT(*) AS n_docs, "
+            "TRUE AS identical_text_same_sig, TRUE AS doubled_text_same_sig FROM derived"
+        ),
+        "doc_fingerprint": (
+            f"{DERIVED_DOCS_CTE} SELECT COUNT(*) AS n_docs, TRUE AS deterministic, "
+            "TRUE AS copies_equal FROM derived"
+        ),
+        "multimodal_decode": (
+            "SELECT 64 AS n_media, TRUE AS deterministic, TRUE AS shapes_valid, "
+            "TRUE AS features_normalized, TRUE AS images_single_frame"
         ),
         "ann_index": (
             "SELECT 16 AS n_cells, 4 AS nprobe, TRUE AS partition_pruned, "

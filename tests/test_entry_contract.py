@@ -20,13 +20,7 @@ def test_registry_shape():
     # the documented non-SQL (rows-only) queries are the only ones
     # allowed to omit an oracle
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {
-        "ann_lsh_recall",
-        "ann_ivf_recall",
-        "simhash_buckets",
-        "multimodal_decode",
-        "doc_fingerprint",
-    }
+    assert rows_only == {"ann_lsh_recall", "ann_ivf_recall"}
 
 
 def test_entry_runs(spark):

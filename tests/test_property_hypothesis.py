@@ -155,3 +155,43 @@ def test_cuckoo_serde_roundtrip_random(keys):
     g = CuckooFilter.from_bytes(f.to_bytes())
     assert (g.table == f.table).all()
     assert g.lookup_batch(keys).sum() == f.lookup_batch(keys).sum()
+
+
+WORD = st.text(alphabet="abcdefg", min_size=1, max_size=4)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.lists(WORD, min_size=0, max_size=20), min_size=1, max_size=8),
+    st.integers(min_value=2, max_value=6),
+)
+def test_shingle_hash_batch_set_semantics(docs, k):
+    """The word-hash polynomial shingler must preserve the string-join
+    formulation's SET semantics exactly: two docs have equal shingle
+    string sets iff their hash sets are equal (modulo 64-bit
+    collisions, absent at this scale)."""
+    import pandas as pd
+
+    from sketchlib.spark.dedup import _shingle_hash_batch
+
+    texts = pd.Series([" ".join(ws) for ws in docs])
+    hashes, bounds = _shingle_hash_batch(texts, k)
+
+    def string_shingles(t):
+        ws = t.split()
+        sh = [" ".join(ws[i : i + k]) for i in range(max(len(ws) - k + 1, 0))]
+        return set(sh) if sh else {t}
+
+    ref = [string_shingles(t) for t in texts]
+    got = [frozenset(hashes[bounds[i] : bounds[i + 1]].tolist()) for i in range(len(texts))]
+    # per-doc shingle COUNTS (set sizes) match the string formulation
+    for r, g in zip(ref, got):
+        assert len(g) == len(r)
+    # pairwise set equality is preserved in both directions
+    for i in range(len(texts)):
+        for j in range(i):
+            assert (ref[i] == ref[j]) == (got[i] == got[j])
+    # and pairwise intersections (Jaccard numerators) agree
+    for i in range(len(texts)):
+        for j in range(i):
+            assert len(ref[i] & ref[j]) == len(got[i] & got[j])

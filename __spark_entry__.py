@@ -819,15 +819,24 @@ def q_streaming_incremental(spark, sf_dir):
     from sketchlib.streaming.incremental import IncrementalSketchBuilder
 
     import os
-    import shutil
 
     ev_path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(ev_path).schema
+    ev = spark.read.parquet(ev_path)
+    schema = ev.schema
     tmp = tempfile.mkdtemp(prefix="stream-oracle-")
-    # the file stream source needs a DIRECTORY (arrival order = file
-    # listing); stage the immutable test file into one
+    # the file stream source needs a DIRECTORY; stage the events as TWO
+    # files so maxFilesPerTrigger=1 drives TWO micro-batches — the
+    # state(t+1) = merge(state(t), build(batch)) path is exercised
+    # across batches, not just once (merge is commutative, so batch
+    # order doesn't matter)
+    import glob
+    import shutil
+
     os.makedirs(f"{tmp}/in")
-    shutil.copy(ev_path, f"{tmp}/in/events-000.parquet")
+    for name, cond in (("a", F.col("event_id") % 2 == 0), ("b", F.col("event_id") % 2 == 1)):
+        ev.where(cond).coalesce(1).write.parquet(f"{tmp}/stage-{name}")
+        part = glob.glob(f"{tmp}/stage-{name}/part-*.parquet")[0]
+        shutil.move(part, f"{tmp}/in/half-{name}.parquet")
     hll_b = IncrementalSketchBuilder(
         lambda: HyperLogLog(14), "user_key", f"{tmp}/hll.bin"
     )
@@ -840,7 +849,11 @@ def q_streaming_incremental(spark, sf_dir):
         hll_b.process_batch(keyed, batch_id)
         cms_b.process_batch(keyed, batch_id)
 
-    stream = spark.readStream.schema(schema).parquet(f"{tmp}/in")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch ⇒ 2 batches
+        .parquet(f"{tmp}/in")
+    )
     q = (
         stream.writeStream.outputMode("update")
         .foreachBatch(process)

@@ -96,3 +96,61 @@ def write_documents_parquet(
         generate_documents(n, seed=seed, **kw), path, row_group_size=row_group_rows
     )
     return path
+
+
+def warc_bytes(n: int, seed: int = 42, **kw) -> bytes:
+    """Serialize the synthetic corpus as a WARC/1.0 archive (warcinfo
+    record + one response record per page, HTTP payloads) — the
+    container the north-star corpus actually ships in. Deterministic
+    for a given (seed, n); record ids derive from the row index."""
+    table = generate_documents(n, seed=seed, **kw)
+    urls = table.column("url").to_pylist()
+    tss = table.column("warc_ts").to_pylist()
+    htmls = table.column("html").to_pylist()
+    langs = table.column("lang").to_pylist()
+
+    def record(warc_type: str, headers: list[tuple[str, str]], payload: bytes) -> bytes:
+        head = [b"WARC/1.0", b"WARC-Type: " + warc_type.encode()]
+        head += [f"{k}: {v}".encode() for k, v in headers]
+        head += [b"Content-Length: %d" % len(payload)]
+        return b"\r\n".join(head) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+    out = [
+        record(
+            "warcinfo",
+            [("WARC-Record-ID", "<urn:uuid:00000000-0000-0000-0000-000000000000>"),
+             ("Content-Type", "application/warc-fields")],
+            b"software: sketchlib-datagen\r\n",
+        )
+    ]
+    for i in range(len(urls)):
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            b"Content-Length: %d\r\n\r\n" % len(htmls[i])
+        ) + htmls[i]
+        iso = tss[i].strftime("%Y-%m-%dT%H:%M:%SZ")
+        out.append(
+            record(
+                "response",
+                [
+                    ("WARC-Record-ID", f"<urn:uuid:00000000-0000-0000-0000-{i:012d}>"),
+                    ("WARC-Target-URI", urls[i]),
+                    ("WARC-Date", iso),
+                    ("WARC-Identified-Content-Language", langs[i]),
+                    ("Content-Type", "application/http;msgtype=response"),
+                ],
+                http,
+            )
+        )
+    return b"".join(out)
+
+
+def write_warc(path: str, n: int, seed: int = 42, gzip_compress: bool = False, **kw) -> str:
+    """Write the synthetic corpus as a .warc (or whole-file .warc.gz)."""
+    import gzip as _gzip
+
+    blob = warc_bytes(n, seed=seed, **kw)
+    data = _gzip.compress(blob, mtime=0) if gzip_compress else blob
+    with open(path, "wb") as fh:
+        fh.write(data)
+    return path

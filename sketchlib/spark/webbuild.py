@@ -209,6 +209,7 @@ def build_web_pipeline(
     num_shards: int = 64,
     cms_width: int = 1 << 14,
     fingerprint_bits: int = 16,
+    capacity_slack: float = 1.1,
 ):
     """The 100 TB-shaped flagship: two jobs, neither shuffles a heavy
     column.
@@ -236,8 +237,13 @@ def build_web_pipeline(
     from ..sketches import CountMinSketch, HyperLogLog, KLLSketch
     from .shard import build_sharded
 
+    # capacity sizing: per-shard load must stay under the ~0.95 kick
+    # limit INCLUDING Poisson variance of the key→shard split. At
+    # n/shards ≥ ~10^4 keys/shard the 1.1 default is ample (σ/μ ≤ 1%);
+    # small demo builds (10²-10³ keys/shard) should raise
+    # capacity_slack to ~1.3-1.5 or lower num_shards.
     cfg = CuckooConfig(
-        capacity=max(int(n_docs * 1.1), 1024),
+        capacity=max(int(n_docs * capacity_slack), 1024),
         fingerprint_bits=fingerprint_bits,
         hash_strategy="xx",
     )

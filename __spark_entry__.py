@@ -1406,6 +1406,41 @@ def q_simhash_buckets(spark, sf_dir):
     )
 
 
+def q_warc_source(spark, sf_dir):
+    """WARC (ISO 28500) source round-trip verdict: two deterministic
+    synthetic archives (one plain, one whole-file gzip) read through
+    binaryFile + the streaming record parser must reproduce every url,
+    html byte, extracted text (the per-row invariant), and language tag
+    of the generating table."""
+    import tempfile
+
+    from sketchlib.datagen import generate_documents, write_warc
+    from sketchlib.spark.warc import read_warc
+
+    n = 64
+    tmp = tempfile.mkdtemp(prefix="warc-src-")
+    write_warc(f"{tmp}/a.warc", n, seed=5)
+    write_warc(f"{tmp}/b.warc.gz", n, seed=6, gzip_compress=True)
+    got = read_warc(spark, tmp)
+    ref = generate_documents(n, seed=5).to_pandas()
+    ref2 = generate_documents(n, seed=6).to_pandas()
+    import pandas as pd
+
+    exp = pd.concat([ref, ref2], ignore_index=True)[["url", "html", "text", "lang"]]
+    exp_df = spark.createDataFrame(exp)
+    joined = got.alias("g").join(exp_df.alias("e"), F.col("g.url") == F.col("e.url"))
+    n_pages = got.count()
+    matched = joined.where(
+        (F.col("g.html") == F.col("e.html"))
+        & (F.col("g.text") == F.col("e.text"))
+        & (F.col("g.lang") == F.col("e.lang"))
+    ).count()
+    return spark.createDataFrame(
+        [(n_pages, bool(n_pages == 2 * n), bool(matched == 2 * n))],
+        "n_pages long, all_records_surfaced boolean, bytes_text_lang_roundtrip boolean",
+    )
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Binary media plumbing (decode stub — codec libs absent), upgraded
     from rows-only to a verdict oracle: decode is deterministic
@@ -1505,6 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index": q_ann_index,
         "lsh_index": q_lsh_index,
         "simhash_buckets": q_simhash_buckets,
+        "warc_source": q_warc_source,
         "multimodal_decode": q_multimodal_decode,
     }
 
@@ -1824,6 +1860,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": (
             f"{DERIVED_DOCS_CTE} SELECT COUNT(*) AS n_docs, TRUE AS deterministic, "
             "TRUE AS copies_equal FROM derived"
+        ),
+        "warc_source": (
+            "SELECT 128 AS n_pages, TRUE AS all_records_surfaced, "
+            "TRUE AS bytes_text_lang_roundtrip"
         ),
         "multimodal_decode": (
             "SELECT 64 AS n_media, TRUE AS deterministic, TRUE AS shapes_valid, "

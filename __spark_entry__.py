@@ -1240,9 +1240,16 @@ def q_doc_fingerprint(spark, sf_dir):
 
     d = _docs_with_dups(spark, sf_dir)
     fp = doc_fingerprint_udf()
-    fps = d.select("doc_id", "text", fp(F.col("text")).alias("f1"), fp(F.col("text")).alias("f2"))
+    fps = d.select("doc_id", "text", fp(F.col("text")).alias("f1"))
     n = fps.count()
-    deterministic = fps.where(F.col("f1") != F.col("f2")).count() == 0
+    # determinism must be checked across TWO independent plans — two
+    # identical UDF calls in one projection are CSE'd into a single
+    # evaluation, which would make the check vacuously true
+    fps_again = d.select("doc_id", fp(F.col("text")).alias("f1"))
+    deterministic = (
+        fps.select("doc_id", "f1").exceptAll(fps_again).count() == 0
+        and fps_again.exceptAll(fps.select("doc_id", "f1")).count() == 0
+    )
     a = fps.select(F.col("text").alias("ta"), F.col("f1").alias("fa"))
     b = fps.select(F.col("text").alias("tb"), F.col("f1").alias("fb"))
     copies_differ = (
@@ -1421,22 +1428,22 @@ def q_warc_source(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="warc-src-")
     write_warc(f"{tmp}/a.warc", n, seed=5)
     write_warc(f"{tmp}/b.warc.gz", n, seed=6, gzip_compress=True)
-    got = read_warc(spark, tmp)
+    got = read_warc(spark, tmp).select("url", "html", "text", "lang")
     ref = generate_documents(n, seed=5).to_pandas()
     ref2 = generate_documents(n, seed=6).to_pandas()
     import pandas as pd
 
     exp = pd.concat([ref, ref2], ignore_index=True)[["url", "html", "text", "lang"]]
     exp_df = spark.createDataFrame(exp)
-    joined = got.alias("g").join(exp_df.alias("e"), F.col("g.url") == F.col("e.url"))
+    # MULTISET equality (exceptAll both ways), not a url join — the two
+    # seeds can legitimately generate colliding urls at the same row
+    # index, which a url-keyed join would double-match
     n_pages = got.count()
-    matched = joined.where(
-        (F.col("g.html") == F.col("e.html"))
-        & (F.col("g.text") == F.col("e.text"))
-        & (F.col("g.lang") == F.col("e.lang"))
-    ).count()
+    roundtrip = (
+        got.exceptAll(exp_df).count() == 0 and exp_df.exceptAll(got).count() == 0
+    )
     return spark.createDataFrame(
-        [(n_pages, bool(n_pages == 2 * n), bool(matched == 2 * n))],
+        [(n_pages, bool(n_pages == 2 * n), bool(roundtrip))],
         "n_pages long, all_records_surfaced boolean, bytes_text_lang_roundtrip boolean",
     )
 

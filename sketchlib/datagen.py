@@ -133,7 +133,10 @@ def warc_bytes(n: int, seed: int = 42, **kw) -> bytes:
             record(
                 "response",
                 [
-                    ("WARC-Record-ID", f"<urn:uuid:00000000-0000-0000-0000-{i:012d}>"),
+                    # 0001 segment: never collides with the warcinfo
+                    # record's all-zero uuid (ISO 28500 requires
+                    # globally unique record ids)
+                    ("WARC-Record-ID", f"<urn:uuid:00000000-0000-0000-0001-{i:012d}>"),
                     ("WARC-Target-URI", urls[i]),
                     ("WARC-Date", iso),
                     ("WARC-Identified-Content-Language", langs[i]),

@@ -97,11 +97,17 @@ def bloom_semi_join(
 
     right_key = right_key or left_key
     spark = left.sparkSession
-    rk = right.select(F.col(right_key).cast("string").alias("k")).distinct()
-    cap = capacity or max(rk.count(), 64)
-    bloom = tree_merge(
-        build_sketches(rk, "k", lambda: BloomFilter(capacity=cap, fp_rate=fp_rate))
-    )
+    # persist the distinct build keys: without it the sizing count, the
+    # sketch build, and (absent a cache) the final join would each
+    # recompute right.distinct() — three passes over the build side
+    rk = right.select(F.col(right_key).cast("string").alias("k")).distinct().persist()
+    try:
+        cap = capacity or max(rk.count(), 64)
+        bloom = tree_merge(
+            build_sketches(rk, "k", lambda: BloomFilter(capacity=cap, fp_rate=fp_rate))
+        )
+    finally:
+        rk.unpersist()
     if bloom is None:  # right side empty (zero build partitions): semi-join is empty
         return left.where(F.lit(False))
     member = membership_udf(spark, bloom)

@@ -50,7 +50,9 @@ def iter_warc_records(blob: bytes) -> Iterator[tuple[dict, bytes]]:
                 k, v = ln.split(":", 1)
                 headers[k.strip().lower()] = v.strip()
         try:
-            clen = int(headers.get("content-length", "0"))
+            # clamp: a negative Content-Length (corrupt/malicious) would
+            # move the cursor backward and loop forever on one record
+            clen = max(int(headers.get("content-length", "0")), 0)
         except ValueError:
             clen = 0
         start = hdr_end + 4

@@ -349,6 +349,20 @@ def test_read_warc_roundtrip(spark, tmp_path):
         assert all(r.warc_ts is not None for r in rows)
 
 
+def test_warc_parser_negative_content_length_terminates(spark):
+    """A corrupt/malicious negative Content-Length must not move the
+    cursor backward (previously an infinite loop re-yielding the same
+    record forever inside the executor)."""
+    from sketchlib.spark.warc import iter_warc_records
+
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://x/\r\n"
+        b"Content-Length: -120\r\n\r\npayload\r\n\r\n"
+    )
+    recs = list(iter_warc_records(rec * 3))
+    assert len(recs) <= 6  # terminates; bounded yields
+
+
 def test_warc_parser_resyncs_on_garbage(spark, tmp_path):
     """Garbage between records and a truncated tail must not kill the
     archive — the parser resyncs to the next WARC/ marker."""

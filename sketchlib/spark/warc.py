@@ -4,23 +4,36 @@ The north-star corpus ships as WARC, not parquet; this reader turns
 WARC *response* records into the pages schema ``(url, warc_ts, html,
 text, lang)`` with no external library:
 
-* one ``binaryFile`` scan row per archive — an archive is the natural
-  task granularity for web crawls (Common Crawl segments are ~1 GB),
-  so scan parallelism = number of archives, no shuffle;
-* a streaming record parser inside ``mapInPandas`` (Arrow-batched,
-  never per-row Python over records' tokens);
+* one parse task per archive — an archive is the natural task
+  granularity for web crawls (Common Crawl segments are ~1 GB), so
+  parse parallelism = number of archives, no shuffle;
+* BOUNDED per-task memory: archives are opened as byte streams and
+  gzip is decompressed incrementally (``gzip.GzipFile`` over the
+  stream), so a 1 GB .warc.gz that inflates to ~4-5 GB never sits in
+  memory. Peak per-task memory ≈
+  ``chunk_size + max_record_bytes (one in-flight record, CC caps
+  payloads ~1 MB) + records_per_batch × avg_record`` (the pending
+  Arrow output batch) — tens of MB, independent of archive size;
+* a streaming record parser (``iter_warc_stream``) that resyncs to
+  the next ``WARC/`` marker on corrupt regions — including a corrupt
+  or hostile Content-Length mid-archive, which skips ONLY the bad
+  record instead of discarding the rest of the archive; only a
+  truncated *final* record ends parsing early;
 * text extraction reuses the frozen ``sketchlib.textx`` extractor, so
   the per-row byte-identity invariant (text == extract_text(html))
   holds for WARC inputs exactly as it does for parquet.
 
 Both plain and whole-file-gzip archives are handled (magic-byte
-sniff); malformed regions resync to the next ``WARC/`` marker instead
-of failing the archive.
+sniff). File bytes are read executor-side from the archive *path*
+(the listing job never loads content); local/``file:`` paths use the
+builtin opener — for object stores pass ``opener`` (any callable
+``path -> binary file object``, e.g. ``fsspec.open(path, "rb")``).
 """
 
 from __future__ import annotations
 
 import gzip
+import io
 from collections.abc import Iterator
 
 import pandas as pd
@@ -28,40 +41,100 @@ import pandas as pd
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 _CRLF2 = b"\r\n\r\n"
+_MARKER = b"WARC/"
+_MAX_HEADER_BYTES = 1 << 20  # a header block larger than 1 MiB is corrupt
+DEFAULT_MAX_RECORD_BYTES = 1 << 30  # corrupt/hostile Content-Length guard
 
 
-def iter_warc_records(blob: bytes) -> Iterator[tuple[dict, bytes]]:
-    """Yield (headers, payload) per WARC record; headers keys are
-    lowercase. Skips garbage between records (resync on ``WARC/``) and
-    truncated tails — a crawler's archive is allowed to end mid-write."""
-    i, n = 0, len(blob)
-    while i < n:
-        if not blob.startswith(b"WARC/", i):
-            j = blob.find(b"WARC/", i)
-            if j < 0:
+def _parse_headers(block: bytes) -> dict[str, str]:
+    headers: dict[str, str] = {}
+    for ln in block.decode("utf-8", "replace").split("\r\n")[1:]:
+        if ":" in ln:
+            k, v = ln.split(":", 1)
+            headers[k.strip().lower()] = v.strip()
+    return headers
+
+
+def iter_warc_stream(
+    stream,
+    chunk_size: int = 4 << 20,
+    max_record_bytes: int = DEFAULT_MAX_RECORD_BYTES,
+) -> Iterator[tuple[dict, bytes]]:
+    """Yield (headers, payload) per WARC record from a readable byte
+    stream, holding at most ``max(chunk_size, header window, one
+    record)`` bytes — never the whole archive.
+
+    Corruption policy (the resync contract): garbage between records
+    skips forward to the next ``WARC/`` marker; an unterminated or
+    oversized header block resyncs past its marker; a Content-Length
+    larger than ``max_record_bytes``, or one that overruns end-of-
+    stream while further records exist, skips that record and resyncs.
+    Only a truncated FINAL record (payload cut by end-of-stream with
+    nothing after it) ends parsing — a crawler's archive is allowed to
+    end mid-write."""
+    buf = bytearray()
+    eof = False
+
+    def fill(need: int) -> bool:
+        nonlocal eof
+        while len(buf) < need and not eof:
+            chunk = stream.read(chunk_size)
+            if not chunk:
+                eof = True
+            else:
+                buf.extend(chunk)
+        return len(buf) >= need
+
+    while True:
+        # --- locate the next record marker, discarding garbage
+        while True:
+            j = buf.find(_MARKER)
+            if j >= 0:
+                del buf[:j]
+                break
+            if eof:
                 return
-            i = j
-        hdr_end = blob.find(_CRLF2, i)
+            # keep a marker-prefix tail so a marker straddling chunks
+            # is still found; everything before it is garbage
+            del buf[: max(0, len(buf) - (len(_MARKER) - 1))]
+            fill(len(buf) + 1)
+        # --- header block (up to CRLFCRLF), bounded
+        while True:
+            hdr_end = buf.find(_CRLF2, 0, _MAX_HEADER_BYTES + len(_CRLF2))
+            if hdr_end >= 0 or eof or len(buf) > _MAX_HEADER_BYTES:
+                break
+            fill(len(buf) + 1)
         if hdr_end < 0:
-            return
-        headers: dict[str, str] = {}
-        for ln in blob[i:hdr_end].decode("utf-8", "replace").split("\r\n")[1:]:
-            if ":" in ln:
-                k, v = ln.split(":", 1)
-                headers[k.strip().lower()] = v.strip()
+            if eof and len(buf) <= _MAX_HEADER_BYTES:
+                return  # truncated final header
+            del buf[: len(_MARKER)]  # oversized header: resync past marker
+            continue
+        headers = _parse_headers(bytes(buf[:hdr_end]))
         try:
-            # clamp: a negative Content-Length (corrupt/malicious) would
-            # move the cursor backward and loop forever on one record
             clen = max(int(headers.get("content-length", "0")), 0)
         except ValueError:
             clen = 0
-        start = hdr_end + 4
-        if start + clen > n:
-            return  # truncated record
-        yield headers, blob[start : start + clen]
-        i = start + clen
-        while i < n and blob.startswith(b"\r\n", i):
-            i += 2
+        start = hdr_end + len(_CRLF2)
+        if clen > max_record_bytes:
+            # corrupt/hostile length: skip this record only
+            del buf[:start]
+            continue
+        if not fill(start + clen):
+            # payload overruns end-of-stream. If another marker follows
+            # within the remaining bytes the length was corrupt — skip
+            # the bad record and resync; otherwise it is the truncated
+            # final record and parsing ends.
+            if buf.find(_MARKER, start) < 0:
+                return
+            del buf[:start]
+            continue
+        yield headers, bytes(buf[start : start + clen])
+        del buf[: start + clen]
+
+
+def iter_warc_records(blob: bytes) -> Iterator[tuple[dict, bytes]]:
+    """In-memory view of ``iter_warc_stream`` (same resync contract)."""
+    yield from iter_warc_stream(io.BytesIO(blob))
 
 
 def http_body(payload: bytes) -> bytes:
@@ -70,39 +143,86 @@ def http_body(payload: bytes) -> bytes:
     return payload[sep + 4 :] if sep >= 0 else payload
 
 
-def read_warc(spark, path: str):
+def open_archive_stream(path: str, opener=None):
+    """Binary stream for one archive path (as produced by Spark file
+    listings, e.g. ``file:/data/x.warc.gz``), transparently layered
+    with incremental gzip decompression when the magic bytes match.
+    ``opener``: ``path -> binary file object`` for non-local schemes."""
+    if opener is None:
+        local = path
+        if local.startswith("file:"):
+            from urllib.parse import unquote, urlparse
+
+            local = unquote(urlparse(local).path)
+        raw = open(local, "rb")  # noqa: SIM115 — caller-managed stream
+    else:
+        raw = opener(path)
+    head = raw.read(2)
+    raw.seek(0)
+    if head == b"\x1f\x8b":
+        return gzip.GzipFile(fileobj=raw)
+    return raw
+
+
+def read_warc(
+    spark,
+    path: str,
+    records_per_batch: int = 256,
+    chunk_size: int = 4 << 20,
+    max_record_bytes: int = DEFAULT_MAX_RECORD_BYTES,
+    opener=None,
+):
     """→ DataFrame(PAGES_SCHEMA) of every WARC *response* record under
-    ``path`` (file, glob, or directory of .warc / .warc.gz)."""
+    ``path`` (file, glob, or directory of .warc / .warc.gz).
+
+    The Spark job carries only PATHS (the ``binaryFile`` listing with
+    the content column pruned away); each task opens its archives as
+    streams and emits Arrow batches of ``records_per_batch`` pages, so
+    per-task memory is bounded by the formula in the module header
+    regardless of archive size — unlike a ``binaryFile`` content scan,
+    which materializes (and 2 GB-caps) whole files."""
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..textx import extract_text
 
-        for pdf in batches:
-            urls: list = []
-            tss: list = []
-            htmls: list = []
-            texts: list = []
-            langs: list = []
-            for content in pdf["content"]:
-                blob = bytes(content)
-                if blob[:2] == b"\x1f\x8b":
-                    blob = gzip.decompress(blob)
-                for headers, payload in iter_warc_records(blob):
-                    if headers.get("warc-type") != "response":
-                        continue  # warcinfo/request/metadata records
-                    html = http_body(payload)
-                    urls.append(headers.get("warc-target-uri"))
-                    tss.append(pd.to_datetime(headers.get("warc-date"), utc=True))
-                    htmls.append(html)
-                    texts.append(extract_text(html))
-                    langs.append(
-                        headers.get("warc-identified-content-language")
-                    )
-            out = pd.DataFrame(
-                {"url": urls, "warc_ts": tss, "html": htmls, "text": texts, "lang": langs}
-            )
-            out["warc_ts"] = pd.to_datetime(out["warc_ts"], utc=True).dt.tz_localize(None)
-            yield out
+        cols = ("url", "warc_ts", "html", "text", "lang")
+        pend: dict[str, list] = {c: [] for c in cols}
 
-    files = spark.read.format("binaryFile").load(path)
-    return files.select("content").mapInPandas(parse, PAGES_SCHEMA)
+        def flush() -> pd.DataFrame:
+            out = pd.DataFrame({c: pend[c] for c in cols})
+            out["warc_ts"] = pd.to_datetime(out["warc_ts"], utc=True).dt.tz_localize(None)
+            for c in cols:
+                pend[c].clear()
+            return out
+
+        for pdf in batches:
+            for p in pdf["path"]:
+                stream = open_archive_stream(p, opener)
+                try:
+                    for headers, payload in iter_warc_stream(
+                        stream, chunk_size, max_record_bytes
+                    ):
+                        if headers.get("warc-type") != "response":
+                            continue  # warcinfo/request/metadata records
+                        html = http_body(payload)
+                        pend["url"].append(headers.get("warc-target-uri"))
+                        pend["warc_ts"].append(
+                            pd.to_datetime(headers.get("warc-date"), utc=True)
+                        )
+                        pend["html"].append(html)
+                        pend["text"].append(extract_text(html))
+                        pend["lang"].append(
+                            headers.get("warc-identified-content-language")
+                        )
+                        if len(pend["url"]) >= records_per_batch:
+                            yield flush()
+                finally:
+                    stream.close()
+        if pend["url"]:
+            yield flush()
+
+    # binaryFile prunes unrequested columns: selecting only `path` is a
+    # listing, not a read. One task per archive (repartition by path).
+    files = spark.read.format("binaryFile").load(path).select("path")
+    n_files = max(files.count(), 1)
+    return files.repartition(n_files, "path").mapInPandas(parse, PAGES_SCHEMA)

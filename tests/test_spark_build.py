@@ -378,6 +378,82 @@ def test_warc_parser_resyncs_on_garbage(spark, tmp_path):
     assert 7 <= len(responses) <= 10  # most records survive, none crash
 
 
+def test_warc_corrupt_length_mid_archive_resyncs(spark):
+    """A corrupt oversized Content-Length MID-archive must skip only
+    that record: every later valid record is still surfaced (round-2
+    review: the old parser returned immediately, silently discarding
+    the rest of the archive)."""
+    from sketchlib.datagen import warc_bytes
+    from sketchlib.spark.warc import iter_warc_records
+
+    blob = warc_bytes(10, seed=7)
+    # corrupt the SECOND record's Content-Length to claim more bytes
+    # than the archive holds (mid-archive overrun, records follow)
+    second = blob.find(b"WARC/", blob.find(b"\r\n\r\nWARC/") + 4)
+    third = blob.find(b"WARC/", second + 5)
+    head = blob[second:third]
+    import re
+
+    bad = re.sub(rb"Content-Length: \d+", b"Content-Length: 999999999", head, count=1)
+    mangled = blob[:second] + bad + blob[third:]
+    responses = [
+        h for h, _ in iter_warc_records(mangled) if h.get("warc-type") == "response"
+    ]
+    # ≥7 of the 9 undamaged response records survive (resync may eat the
+    # record adjacent to the corrupt region, never the archive's tail)
+    assert len(responses) >= 7
+    # and the LAST record of the archive is among them
+    blob_resps = [
+        h for h, _ in iter_warc_records(blob) if h.get("warc-type") == "response"
+    ]
+    assert responses[-1]["warc-target-uri"] == blob_resps[-1]["warc-target-uri"]
+
+
+def test_warc_stream_bounded_memory_parse(tmp_path):
+    """iter_warc_stream over a gzip archive stream with a tiny chunk
+    size yields exactly the records of the in-memory parse — the
+    bounded-memory path never sees the whole decompressed archive."""
+    import gzip as _gzip
+
+    from sketchlib.datagen import warc_bytes
+    from sketchlib.spark.warc import iter_warc_records, iter_warc_stream, open_archive_stream
+
+    blob = warc_bytes(25, seed=9)
+    p = tmp_path / "s.warc.gz"
+    p.write_bytes(_gzip.compress(blob))
+    stream = open_archive_stream(str(p))
+    got = list(iter_warc_stream(stream, chunk_size=512))  # force many refills
+    stream.close()
+    exp = list(iter_warc_records(blob))
+    assert len(got) == len(exp)
+    for (gh, gp), (eh, ep) in zip(got, exp):
+        assert gh == eh and gp == ep
+
+
+def test_warc_max_record_bytes_guard(tmp_path):
+    """A Content-Length above max_record_bytes (hostile header) is
+    skipped without buffering it; later records still surface."""
+    from sketchlib.datagen import warc_bytes
+    from sketchlib.spark.warc import iter_warc_records, iter_warc_stream
+    import io
+    import re
+
+    blob = warc_bytes(6, seed=13)
+    second = blob.find(b"WARC/", blob.find(b"\r\n\r\nWARC/") + 4)
+    third = blob.find(b"WARC/", second + 5)
+    bad = re.sub(
+        rb"Content-Length: \d+",
+        b"Content-Length: 99999999999999",
+        blob[second:third],
+        count=1,
+    )
+    mangled = blob[:second] + bad + blob[third:]
+    got = list(iter_warc_stream(io.BytesIO(mangled), chunk_size=256))
+    exp = list(iter_warc_records(blob))
+    assert len(got) >= len(exp) - 2  # only the corrupt record (±resync) lost
+    assert got[-1][0].get("warc-target-uri") == exp[-1][0].get("warc-target-uri")
+
+
 def test_read_pages_parquet(spark, docs_parquet):
     from sketchlib.spark.sources import read_pages
 

@@ -292,8 +292,10 @@ def q_simhash_near_dups(spark, sf_dir):
     """SimHash near-dup pairs, Hamming ≤ 3, over the derived dup
     corpus. Injected exact copies AND doubled texts (token counts
     scaled 2× ⇒ identical vote signs ⇒ Hamming 0 despite different
-    text) must both surface through the pigeonhole block join; the
-    exact text relation keeps the output SQL-mirrorable."""
+    text) must both surface through the Manku multi-block combination
+    join (6 blocks, C(6,3)=20 ~32-bit keys — O(n²/2^32)-scale buckets
+    instead of the 16-bit pigeonhole's O(n²/2^16)); the exact text
+    relation keeps the output SQL-mirrorable."""
     from sketchlib.spark.dedup import simhash_near_dup_pairs
 
     d = _docs_with_dups(spark, sf_dir)
@@ -953,8 +955,10 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_exact_hash(spark, sf_dir):
-    """Hash-shuffle dedup (the 100 TB shape) over the derived corpus —
-    must agree exactly with the full-text groupBy."""
+    """Hash-shuffle dedup (the 100 TB shape: ONE shuffle of (8-byte
+    digest, id) pairs, no text join-back — the physical plan is a
+    single Exchange, asserted in tests/test_round3.py) over the
+    derived corpus — must agree exactly with the full-text groupBy."""
     from sketchlib.spark.dedup import dedup_exact_hash
 
     return dedup_exact_hash(_docs_with_dups(spark, sf_dir)).select("doc_id")

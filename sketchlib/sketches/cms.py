@@ -31,6 +31,21 @@ class CountMinSketch(MergeableSketch):
         self.hash_strategy = hash_strategy
         self.counts = np.zeros((self.depth, self.width), np.int64)
         self.total = 0
+        # exact Σ|weight| (Python int, unbounded): every bin is ≤ this,
+        # so keeping it ≤ int64 max guarantees no bin ever wraps — the
+        # silent-undercount mode that would break one-sided error
+        self._abs_total = 0
+
+    _I64_MAX = int(np.iinfo(np.int64).max)
+
+    def _grow_abs_total(self, inc: int) -> None:
+        if self._abs_total + inc > self._I64_MAX:
+            raise OverflowError(
+                "CMS aggregate |weight| total would exceed int64 "
+                f"({self._abs_total} + {inc}); a bin could wrap and "
+                "undercount — widen to multiple sketches or rescale weights"
+            )
+        self._abs_total += inc
 
     def _rows_cols(self, values) -> np.ndarray:
         h = hash_column(values, self.hash_strategy)
@@ -44,6 +59,7 @@ class CountMinSketch(MergeableSketch):
     def update(self, values, weights=None) -> None:
         cols = self._rows_cols(values)
         if weights is None:
+            self._grow_abs_total(int(cols.shape[1]))
             for j in range(self.depth):
                 # bincount is O(n + width) sequential adds — ~10x faster
                 # than np.add.at's scattered fetch-add on wide batches
@@ -63,12 +79,14 @@ class CountMinSketch(MergeableSketch):
             wmin = int(w.astype(object).min())
             if wmax > np.iinfo(np.int64).max or wmin < np.iinfo(np.int64).min:
                 raise ValueError("CMS weights must fit int64 (counts dtype)")
+            self._grow_abs_total(int(np.abs(w.astype(object)).sum()))
             w64 = w.astype(np.int64)
             for j in range(self.depth):
                 np.add.at(self.counts[j], cols[j], w64)
             self.total += int(w.astype(object).sum())  # exact, no int64 overflow
             return
         wf = w.astype(np.float64)
+        self._grow_abs_total(int(np.ceil(float(np.abs(wf).sum()))))
         for j in range(self.depth):
             binned = np.bincount(cols[j], weights=wf, minlength=self.width)
             self.counts[j] += np.rint(binned).astype(np.int64)
@@ -86,6 +104,7 @@ class CountMinSketch(MergeableSketch):
             other.hash_strategy,
         ):
             raise ValueError("cms geometry mismatch")
+        self._grow_abs_total(int(getattr(other, "_abs_total", other.total)))
         self.counts += other.counts
         self.total += other.total
         return self
@@ -101,6 +120,7 @@ class CountMinSketch(MergeableSketch):
             "depth": self.depth,
             "hash_strategy": self.hash_strategy,
             "total": self.total,
+            "abs_total": self._abs_total,
         }
         return save_arrays(meta, counts=self.counts)
 
@@ -110,4 +130,7 @@ class CountMinSketch(MergeableSketch):
         s = cls(width=meta["width"], depth=meta["depth"], hash_strategy=meta["hash_strategy"])
         s.counts = arrays["counts"].copy()
         s.total = meta["total"]
+        # pre-abs_total blobs: |weights| unknown; total is the best
+        # (and for the unweighted/positive paths, exact) reconstruction
+        s._abs_total = meta.get("abs_total", abs(meta["total"]))
         return s

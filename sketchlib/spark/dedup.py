@@ -35,12 +35,21 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def dedup_exact_hash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Scale path: group by xxhash64(text) — the shuffle carries an
-    8-byte key instead of the document. Collisions (~n²/2^64) are
-    accepted for dedup semantics (or verify within-group downstream)."""
-    h = df.withColumn("_th", F.xxhash64(F.col(text_col)))
-    keep = h.groupBy("_th").agg(F.min(id_col).alias(id_col))
-    return keep.join(df.select(id_col, text_col), id_col, "inner").select(id_col, text_col)
+    """Scale path: group by xxhash64(text) — the ONE shuffle carries
+    (8-byte digest, id); document text never moves. Returns the winner
+    ids (min id per digest) with their digest. Callers that truly need
+    the text left-semi-join back on the returned ids — a second,
+    data-scale shuffle deliberately kept OUT of this operator so
+    id-only consumers (counts, splits, downstream key joins) never pay
+    it; ``q_corpus_prepare`` shows the min-of-struct variant for
+    carrying small metric columns through the same single shuffle.
+    Collisions (~n²/2^64) are accepted for dedup semantics."""
+    h = df.select(F.xxhash64(F.col(text_col)).alias("text_digest"), F.col(id_col))
+    return (
+        h.groupBy("text_digest")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "text_digest")
+    )
 
 
 # --------------------------------------------------------------- shingles / minhash
@@ -259,41 +268,77 @@ def simhash_udf(bits: int = 64):
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming distance ≤ max_hamming via the
-    4-block pigeonhole trick: identical 16-bit block → candidate."""
-    # persist: the 4 block-joins each read both sides of this frame —
-    # 8 recomputations of the signature UDF without it
+    """Near-dup pairs with Hamming distance ≤ max_hamming via
+    Manku-style multi-block pigeonholing (Manku, Jain & Das Sarma,
+    "Detecting Near-Duplicates for Web Crawling", WWW 2007 §3): the
+    64-bit signature splits into ``n_blocks`` blocks (default
+    max_hamming + 3); a pair within distance d leaves ≥ n_blocks − d
+    blocks untouched, so joining on every (n_blocks − max_hamming)-
+    block COMBINATION finds it. Wider combination keys shrink buckets:
+    the default 6 blocks / d ≤ 3 joins on C(6,3) = 20 keys carrying
+    ~32 signature bits each — expected candidate volume
+    O(20 · n²/2^32), versus the single-block 4×16-bit scheme's
+    O(n²/2^16) that collapses around 10^9 docs. The combination keys
+    ride ONE exploded column (one shuffle of (id, sig, key) rows, one
+    self-join), and exact bit_count verification follows candidacy, so
+    hash-collision false candidates cost only the compare."""
+    if n_blocks is None:
+        n_blocks = max_hamming + 3
+    if not 0 <= max_hamming < n_blocks <= 64:
+        raise ValueError("need 0 <= max_hamming < n_blocks <= 64")
+    from itertools import combinations
+
+    # persist: both sides of the key self-join read this frame — the
+    # signature UDF would recompute per side without it
     sh = (
         df.select(id_col, text_col)
         .withColumn("simhash", simhash_udf()(F.col(text_col)))
         .drop(text_col)
         .persist()
     )
+    base, rem = divmod(64, n_blocks)
+    widths = [base + 1 if i < rem else base for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
     blocks = [
-        ((F.shiftrightunsigned(F.col("simhash"), 16 * i)) % F.lit(1 << 16)).alias(f"b{i}")
-        for i in range(4)
+        (
+            F.shiftrightunsigned(F.col("simhash"), offsets[i]) % F.lit(1 << widths[i])
+        ).alias(f"b{i}")
+        for i in range(n_blocks)
     ]
-    keyed = sh.select(id_col, "simhash", *blocks)
-    pairs = None
-    for i in range(4):
-        a, b = keyed.alias("a"), keyed.alias("b")
-        p = (
-            a.join(b, F.col(f"a.b{i}") == F.col(f"b.b{i}"))
-            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                F.col("a.simhash").alias("sh_a"),
-                F.col("b.simhash").alias("sh_b"),
+    combo_keys = F.array(
+        *[
+            F.xxhash64(F.lit(ci), *[F.col(f"b{i}") for i in combo])
+            for ci, combo in enumerate(
+                combinations(range(n_blocks), n_blocks - max_hamming)
             )
+        ]
+    )
+    banded = (
+        sh.select(id_col, "simhash", *blocks)
+        .select(id_col, "simhash", F.explode(combo_keys).alias("ck"))
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, "ck")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     # materialize pair-scale candidates, then release the signature cache
-    out = pairs.dropDuplicates(["id_a", "id_b"]).localCheckpoint(eager=True)
+    out = cand.localCheckpoint(eager=True)
     sh.unpersist()
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         out.withColumn("hamming", ham)
         .where(F.col("hamming") <= max_hamming)
@@ -325,7 +370,10 @@ def connected_components(
     pathological chains, and exhausting it RAISES rather than silently
     returning split components. Lineage is truncated per round
     (localCheckpoint) so plans stay O(1) deep. Convergence is detected
-    by an exact label-sum fixpoint (monotone decreasing)."""
+    by counting rows whose label changed this round — wrap-proof,
+    unlike an int64 label-sum fixpoint (Spark's non-ANSI sum wraps
+    mod 2^64, so a sum-delta that is an exact multiple of 2^64 would
+    alias to "converged")."""
     sym = (
         pairs.select(F.col(pair_a).alias("src"), F.col(pair_b).alias("dst"))
         .unionByName(pairs.select(F.col(pair_b).alias("src"), F.col(pair_a).alias("dst")))
@@ -334,7 +382,6 @@ def connected_components(
     )
     labels = vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
     labels = labels.localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("component")).first()[0] or 0
     converged = False
     for _ in range(max_iter):
         prop = (
@@ -352,16 +399,21 @@ def connected_components(
         lut = labels.select(
             F.col("id").alias("component"), F.col("component").alias("cc")
         )
+        prev = labels
         labels = (
             stepped.join(lut, "component", "left")
             .select("id", F.least("component", F.coalesce("cc", "component")).alias("component"))
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("component")).first()[0] or 0
-        if cur_sum == prev_sum:  # monotone ⇒ equal sum = fixpoint
+        changed = (
+            labels.alias("n")
+            .join(prev.alias("p"), "id")
+            .where(F.col("n.component") != F.col("p.component"))
+            .count()
+        )
+        if changed == 0:  # labels monotone per vertex ⇒ true fixpoint
             converged = True
             break
-        prev_sum = cur_sum
     sym.unpersist()
     if not converged:
         raise RuntimeError(

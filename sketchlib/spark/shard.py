@@ -185,6 +185,15 @@ def delete_sharded(
             # deletes hashed to a shard with no row: nothing was ever
             # inserted there, so there is nothing to delete
             return pd.DataFrame({c: [] for c in _SHARD_COLS})
+        if len(state) > 1:
+            # a well-formed shard table has exactly one row per shard;
+            # duplicates (unioned shard tables, a double-emitting build)
+            # must fail loudly — applying deletes to only one of the
+            # rows would silently drop the others' filter state
+            raise ValueError(
+                f"shard {int(state['shard_id'].iloc[0])} has {len(state)} state "
+                "rows; merge duplicate shard rows (merge_sharded) before delete"
+            )
         if dels.empty:
             return state[_SHARD_COLS]  # untouched shard passes through
         f = loads(state["state"].iloc[0])
@@ -207,13 +216,66 @@ def delete_sharded(
     )
 
 
+def merge_sharded(shard_df: DataFrame) -> DataFrame:
+    """ONE row per shard from a union of same-geometry shard tables
+    (incremental builds, streaming micro-batches): per shard_id, the
+    duplicate filter states merge associatively and the row counts add.
+    One applyInPandas group per shard — per-task memory is the handful
+    of duplicate states of a single shard, never the whole table."""
+    import pandas as pd
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        f = loads(pdf["state"].iloc[0])
+        for blob in pdf["state"].iloc[1:]:
+            f.merge(loads(blob))
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["shard_id"].iloc[0])],
+                "n_rows": [int(pdf["n_rows"].sum())],
+                "item_count": [int(getattr(f, "num_items", 0))],
+                "fail_count": [int(getattr(f, "insert_failures", 0))],
+                "load_factor": [
+                    float(f.load_factor()) if hasattr(f, "load_factor") else 0.0
+                ],
+                "state": [f.to_bytes()],
+            }
+        )
+
+    return shard_df.groupBy("shard_id").applyInPandas(merge_group, SHARD_SCHEMA)
+
+
+class ShardedProbeIndex:
+    """Reusable broadcast handle for probing in a loop: the shard blobs
+    are collected and broadcast ONCE; every ``probe_sharded`` call that
+    passes the handle reuses the broadcast — no per-call collect, no
+    state-size re-measure aggregation, no leaked broadcasts. Call
+    ``destroy()`` when the probing loop is done (after materializing
+    the last probe result)."""
+
+    def __init__(self, spark, blobs: dict[int, bytes]):
+        self.state_bytes = sum(len(b) for b in blobs.values())
+        self.broadcast = spark.sparkContext.broadcast(blobs)
+
+    @classmethod
+    def from_shards(cls, shard_df: DataFrame) -> "ShardedProbeIndex":
+        blobs = {
+            int(r.shard_id): bytes(r.state)
+            for r in shard_df.select("shard_id", "state").collect()
+        }
+        return cls(shard_df.sparkSession, blobs)
+
+    def destroy(self) -> None:
+        self.broadcast.destroy()
+
+
 def probe_sharded(
     probes: DataFrame,
     key_col: str,
-    shard_df: DataFrame,
-    num_shards: int,
+    shard_df: DataFrame | None = None,
+    num_shards: int = 0,
     broadcast_threshold_bytes: int = 64 << 20,
     state_bytes: int | None = None,
+    index: ShardedProbeIndex | None = None,
 ) -> DataFrame:
     """→ probes + boolean ``member`` column.
 
@@ -235,11 +297,22 @@ def probe_sharded(
       once to meet its probe group, per-task memory = one shard.
 
     Probes hashing to a shard with no state row (nothing was inserted
-    there) come back ``member = false`` — never dropped."""
+    there) come back ``member = false`` — never dropped.
+
+    ``index``: a prebuilt ``ShardedProbeIndex`` — ALWAYS takes the
+    broadcast path, skipping both the per-call collect+broadcast and
+    the state-size measuring aggregation. The recommended handle for
+    probe loops (one broadcast for the whole loop, explicitly
+    destroyable); without it each call creates a broadcast that lives
+    until the returned DataFrame is garbage-collected."""
     import numpy as np
     import pandas as pd
 
-    if state_bytes is None:
+    if index is None and shard_df is None:
+        raise ValueError("need shard_df or a prebuilt ShardedProbeIndex")
+    if num_shards <= 0:
+        raise ValueError("num_shards must match the build's shard count")
+    if index is None and state_bytes is None:
         state_bytes = (
             shard_df.select(F.sum(F.length("state")).alias("b")).first().b or 0
         )
@@ -248,13 +321,12 @@ def probe_sharded(
         f"{f.name} {f.dataType.simpleString()}" for f in keyed.schema.fields
     ) + ", member boolean"
 
-    if state_bytes <= broadcast_threshold_bytes:
-        spark = probes.sparkSession
-        blobs = {
-            int(r.shard_id): bytes(r.state)
-            for r in shard_df.select("shard_id", "state").collect()
-        }
-        bc = spark.sparkContext.broadcast(blobs)
+    if index is not None or state_bytes <= broadcast_threshold_bytes:
+        bc = (
+            index.broadcast
+            if index is not None
+            else ShardedProbeIndex.from_shards(shard_df).broadcast
+        )
 
         def probe_batches(batches):
             cache: dict[int, object] = {}

@@ -1,0 +1,181 @@
+"""Round-3 regression tests: Manku SimHash blocking, dedup_exact_hash
+single-shuffle shape, shard merge / probe-index / duplicate-state
+guards, CMS int64 headroom, connected-components wrap-proof fixpoint."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib.config import CuckooConfig
+
+
+def _cfg(capacity=4096):
+    return CuckooConfig(capacity=capacity, fingerprint_bits=16, hash_strategy="xx")
+
+
+# ----------------------------------------------------------- simhash (Manku)
+
+
+def test_simhash_manku_equals_bruteforce(spark):
+    """The multi-block combination join must find EXACTLY the pairs a
+    brute-force Hamming scan finds — pigeonholing is lossless for
+    d ≤ max_hamming (Manku et al. 2007): with 6 blocks and ≤3 flipped
+    bits, ≥3 blocks are untouched, so some block-triple key matches."""
+    from sketchlib.spark.dedup import simhash_near_dup_pairs, simhash_udf
+
+    texts = [
+        (i, f"alpha beta gamma delta epsilon zeta token{i % 17} word{i % 5}")
+        for i in range(120)
+    ]
+    # exact copies → Hamming 0; near copies via small edits
+    texts += [(1000 + i, texts[i][1]) for i in range(0, 40, 3)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    sigs = df.select("doc_id", simhash_udf()(F.col("text")).alias("s")).collect()
+    want = set()
+    for i, a in enumerate(sigs):
+        for b in sigs[i + 1 :]:
+            h = bin((a.s ^ b.s) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                lo, hi = sorted((a.doc_id, b.doc_id))
+                want.add((lo, hi, h))
+    assert got == want
+    assert len(want) > 0  # non-vacuous: injected copies exist
+
+
+def test_simhash_blocking_param_validation(spark):
+    from sketchlib.spark.dedup import simhash_near_dup_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        simhash_near_dup_pairs(df, max_hamming=5, n_blocks=4)
+
+
+# ------------------------------------------------------- dedup_exact_hash
+
+
+def test_dedup_exact_hash_no_text_joinback(spark):
+    """The 100 TB shape: one digest-keyed shuffle, ids out, and the
+    physical plan must contain NO join (the round-2 version joined the
+    winners back to the corpus — a second data-scale text shuffle)."""
+    from sketchlib.spark.dedup import dedup_exact, dedup_exact_hash
+
+    rows = [(i, f"text {i % 37}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup_exact_hash(df)
+    assert set(got.columns) == {"doc_id", "text_digest"}
+    ids = {r.doc_id for r in got.collect()}
+    exact = {r.doc_id for r in dedup_exact(df).collect()}
+    assert ids == exact
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    # AQE repeats the plan under "== Initial Plan =="; count the final only
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1  # exactly the digest shuffle
+
+
+# ----------------------------------------------------------------- sharding
+
+
+def test_merge_sharded_union_of_builds(spark):
+    """Two incremental sharded builds union + merge_sharded into one
+    row per shard whose filter answers BOTH key sets."""
+    from sketchlib.spark.shard import build_sharded, merge_sharded, probe_sharded
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(300)], "key string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(300)], "key string")
+    sa = build_sharded(a, "key", num_shards=4, cfg=_cfg())
+    sb = build_sharded(b, "key", num_shards=4, cfg=_cfg())
+    merged = merge_sharded(sa.unionByName(sb)).persist()
+    per_shard = merged.groupBy("shard_id").count().where("count > 1").count()
+    assert per_shard == 0
+    both = a.unionByName(b)
+    hits = probe_sharded(both, "key", merged, num_shards=4).where("member").count()
+    assert hits == 600  # no false negatives across the merge
+    merged.unpersist()
+
+
+def test_delete_sharded_rejects_duplicate_state_rows(spark):
+    """A malformed shard table (two state rows for one shard) must fail
+    loudly instead of silently dropping the extra rows' state."""
+    from sketchlib.spark.shard import build_sharded, delete_sharded
+
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(200)], "key string")
+    shards = build_sharded(keys, "key", num_shards=2, cfg=_cfg())
+    doubled = shards.unionByName(shards)
+    dels = spark.createDataFrame([("k1",)], "key string")
+    with pytest.raises(Exception, match="state\\s+rows|state rows"):
+        delete_sharded(doubled, dels, "key", num_shards=2).collect()
+
+
+def test_sharded_probe_index_reuse(spark):
+    """A prebuilt ShardedProbeIndex answers repeated probe calls with
+    ONE broadcast (no per-call collect) and identical results to the
+    direct path; destroy() releases it."""
+    from sketchlib.spark.shard import ShardedProbeIndex, build_sharded, probe_sharded
+
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(500)], "key string")
+    shards = build_sharded(keys, "key", num_shards=4, cfg=_cfg()).persist()
+    idx = ShardedProbeIndex.from_shards(shards)
+    assert idx.state_bytes > 0
+    for _ in range(3):  # loop probing: reuses the one broadcast
+        hits = probe_sharded(keys, "key", num_shards=4, index=idx).where("member").count()
+        assert hits == 500
+    absent = spark.createDataFrame([(f"zz{i}",) for i in range(500)], "key string")
+    fp = probe_sharded(absent, "key", num_shards=4, index=idx).where("member").count()
+    assert fp <= 5  # FPR bound at 16-bit fingerprints
+    idx.destroy()
+    shards.unpersist()
+
+
+# ---------------------------------------------------------------------- CMS
+
+
+def test_cms_abs_total_overflow_raises():
+    """Accumulated |weights| crossing int64 must raise, not wrap a bin
+    into undercounting (one-sided-error contract)."""
+    from sketchlib.sketches import CountMinSketch
+
+    s = CountMinSketch(width=8, depth=2)
+    big = np.array([2**61], dtype=np.int64)
+    s.update(["x"], weights=big)
+    s.update(["y"], weights=big)
+    s.update(["z"], weights=big)  # 3·2^61 < int64 max: fine
+    with pytest.raises(OverflowError):
+        s.update(["w"], weights=big)  # 2^63 would exceed it
+
+
+def test_cms_abs_total_merge_guard_and_serde_roundtrip():
+    from sketchlib.sketches import CountMinSketch
+
+    a = CountMinSketch(width=8, depth=2)
+    a.update(["x"], weights=np.array([2**61], dtype=np.int64))
+    blob = a.to_bytes()
+    b = CountMinSketch.from_bytes(blob)
+    assert b._abs_total == a._abs_total
+    c = CountMinSketch.from_bytes(blob)
+    b.merge(c)
+    b.merge(CountMinSketch.from_bytes(blob))
+    with pytest.raises(OverflowError):
+        b.merge(CountMinSketch.from_bytes(blob))
+
+
+# ------------------------------------------------------ connected components
+
+
+def test_connected_components_changed_count_fixpoint(spark):
+    """Chain + clique + singletons still converge to min-label
+    components under the wrap-proof changed-row-count fixpoint."""
+    from sketchlib.spark.dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    verts = spark.createDataFrame(
+        [(v,) for v in [1, 2, 3, 4, 10, 11, 12, 99]], "doc_id long"
+    )
+    comp = {r.doc_id: r.component for r in connected_components(pairs, verts).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}

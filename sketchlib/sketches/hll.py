@@ -75,3 +75,20 @@ class HyperLogLog(MergeableSketch):
         s = cls(precision=meta["precision"], hash_strategy=meta["hash_strategy"])
         s.registers = arrays["registers"].copy()
         return s
+
+
+def estimate_set_ops(a: HyperLogLog, b: HyperLogLog) -> tuple[float, float]:
+    """(|A∪B| estimate, |A∩B| estimate) from two mergeable HLLs
+    WITHOUT touching the inputs: union is the register-max merge of
+    copies (the property that makes HLL distributable); intersection
+    is inclusion–exclusion |A| + |B| − |A∪B| (Flajolet et al. 2007).
+    The intersection's additive error compounds the three estimates'
+    errors, so its usable bound is ~3σ·(|A| + |B| + |A∪B|) — tight
+    enough for overlap ratios, not for tiny intersections of huge
+    sets (a Theta/KMV sketch is the right tool there; documented
+    trade-off)."""
+    u = HyperLogLog.from_bytes(a.to_bytes())
+    u.merge(b)
+    est_union = u.estimate()
+    est_inter = a.estimate() + b.estimate() - est_union
+    return est_union, max(est_inter, 0.0)

@@ -118,7 +118,10 @@ def build_sharded(
                     continue  # shard already published: skip the fold
                 mask = shards == sid
                 f = filters.setdefault(sid_i, factory())
-                f.insert_batch(keys.filter(pa.array(mask)))
+                # factory protocol: cuckoo-style insert_batch, else the
+                # MergeableSketch update (Bloom/HLL/... shard the same way)
+                ins = getattr(f, "insert_batch", None) or f.update
+                ins(keys.filter(pa.array(mask)))
                 counts[sid_i] = counts.get(sid_i, 0) + int(mask.sum())
         for table in resumed.values():
             yield from table.to_batches()

@@ -132,6 +132,77 @@ def test_sharded_probe_index_reuse(spark):
     shards.unpersist()
 
 
+# ----------------------------------------------------------------- sampling
+
+
+def test_hash_sample_plan_determinism_nesting(spark):
+    """Bottom-k-by-md5 sample: TakeOrderedAndProject plan (per-partition
+    heap, no global sort), identical output under any repartitioning,
+    and k=20 is a prefix of k=50 (nested samples)."""
+    from sketchlib.spark.sampling import hash_sample
+
+    df = spark.range(5000).select(F.col("id").alias("doc_id"), F.lit("x").alias("text"))
+    s1 = hash_sample(df, 50)
+    plan = s1._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    r1 = [r.doc_id for r in s1.collect()]
+    r2 = [r.doc_id for r in hash_sample(df.repartition(7), 50).collect()]
+    assert r1 == r2
+    r3 = [r.doc_id for r in hash_sample(df, 20).collect()]
+    assert r1[:20] == r3
+
+
+def test_stratified_hash_sample_exact_k_per_group(spark):
+    from sketchlib.spark.sampling import stratified_hash_sample
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(300)], "doc_id long, source string"
+    )
+    out = stratified_hash_sample(df, 7, "source")
+    counts = {r.source: r["count"] for r in out.groupBy("source").count().collect()}
+    assert counts == {"s0": 7, "s1": 7, "s2": 7}
+
+
+# ------------------------------------------------------------- hll set ops
+
+
+def test_hll_set_ops_estimates_within_bound():
+    from sketchlib.sketches import HyperLogLog
+    from sketchlib.sketches.hll import estimate_set_ops
+
+    a, b = HyperLogLog(14), HyperLogLog(14)
+    a.update([f"k{i}" for i in range(20000)])
+    b.update([f"k{i}" for i in range(10000, 30000)])
+    sig = 3 * a.std_error()
+    u, inter = estimate_set_ops(a, b)
+    assert abs(u - 30000) <= sig * 30000 + 1
+    assert abs(inter - 10000) <= sig * (20000 + 20000 + 30000) + 1
+    # inputs must be untouched (copy-merge)
+    assert abs(a.estimate() - 20000) <= sig * 20000 + 1
+    assert abs(b.estimate() - 20000) <= sig * 20000 + 1
+
+
+# ------------------------------------------------------ generic shard factory
+
+
+def test_build_sharded_generic_factory_bloom(spark):
+    """The shard layer is sketch-generic: a Bloom factory builds and
+    probes through the same routed layout (update/contains protocol)."""
+    from sketchlib.sketches import BloomFilter
+    from sketchlib.spark.shard import build_sharded, probe_sharded
+
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(400)], "key string")
+    shards = build_sharded(
+        keys, "key", num_shards=4, factory=lambda: BloomFilter(capacity=4096, fp_rate=0.001)
+    ).persist()
+    hits = probe_sharded(keys, "key", shards, num_shards=4).where("member").count()
+    assert hits == 400
+    absent = spark.createDataFrame([(f"zz{i}",) for i in range(1000)], "key string")
+    fp = probe_sharded(absent, "key", shards, num_shards=4).where("member").count()
+    assert fp <= 10  # fp_rate 1e-3 at n=400 per 4096-cap shards
+    shards.unpersist()
+
+
 # ---------------------------------------------------------------------- CMS
 
 

@@ -1424,62 +1424,62 @@ def q_ann_cosine_topk(spark, sf_dir):
     return top.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
 
 
-def q_ann_lsh_recall(spark, sf_dir):
-    """Hyperplane-LSH ANN recall, GATED on injected near-duplicates
-    (round-2 review: the old version reported recall@10 on isotropic
-    vectors with no assertion — a broken LSH returning 0.1 would still
-    'pass'). For each of 5 perturbed query points the true top-1
-    neighbor is its injected original (cosine ≈ 0.993, far above the
-    ~0.45 natural ceiling); the Hamming-ball bucketed search must
-    surface it in top-10 for EVERY query, raising otherwise — so the
-    returned verdict row is exact and oracle-comparable. Everything is
-    seeded/deterministic: this cannot flake, only genuinely break."""
-    from sketchlib.spark.similarity import cosine_topk_lsh
-
+def _ann_recall_gate(spark, sf_dir, label, search):
+    """Shared recall-gate protocol for the approximate-search queries
+    (one source of truth for the injected-dup qid scheme, the
+    origin-id derivation, the raise-on-miss gate, and the verdict
+    schema): for each of 5 perturbed query points (vec_id = 1000000 +
+    5i, from _embeddings_with_near_dups), the true top-1 neighbor is
+    its injected original (cosine ≈ 0.993, far above the ~0.45
+    natural ceiling of this isotropic corpus); ``search(corpus,
+    query_vec)`` must surface it in top-10 for EVERY query or the
+    query raises. Everything is seeded/deterministic — this cannot
+    flake, only genuinely break — so the verdict row is exact and
+    oracle-comparable (round-2 review replaced the ungated recall@10
+    demos that a broken index would still have 'passed')."""
     emb = _embeddings_with_near_dups(spark, sf_dir).persist()
     qids = [1000000 + 5 * i for i in range(5)]
     found = 0
     for qid in qids:
         qv = list(emb.where(F.col("vec_id") == qid).select("embedding").first()[0])
-        top = cosine_topk_lsh(
-            emb.where(F.col("vec_id") != qid), qv, k=10, bits=8, max_hamming=3
-        )
+        top = search(emb.where(F.col("vec_id") != qid), qv)
         if (qid - 1000000) in {r.vec_id for r in top.collect()}:
             found += 1
     emb.unpersist()
     if found < len(qids):
-        raise AssertionError(f"LSH near-dup recall {found}/{len(qids)} < 1.0")
+        raise AssertionError(f"{label} near-dup recall {found}/{len(qids)} < 1.0")
     return spark.createDataFrame(
         [(len(qids), found, True)],
         "n_queries long, origin_in_top10 long, recall_gate_passed boolean",
     )
 
 
+def q_ann_lsh_recall(spark, sf_dir):
+    """Hyperplane-LSH ANN recall gate (see _ann_recall_gate): the
+    Hamming-ball bucketed search must find each injected original."""
+    from sketchlib.spark.similarity import cosine_topk_lsh
+
+    return _ann_recall_gate(
+        spark,
+        sf_dir,
+        "LSH",
+        lambda corpus, qv: cosine_topk_lsh(corpus, qv, k=10, bits=8, max_hamming=3),
+    )
+
+
 def q_ann_ivf_recall(spark, sf_dir):
-    """IVF ANN recall, GATED on injected near-duplicates (same upgrade
-    as ann_lsh_recall): each perturbed query's true top-1 neighbor is
-    its injected original; the nprobe=4-of-16-cells search must
-    surface it in top-10 for EVERY query, raising otherwise. Seeded
-    centroids + deterministic perturbation ⇒ exact verdict row."""
+    """IVF ANN recall gate (see _ann_recall_gate): the nprobe=4-of-16
+    cell search must find each injected original. Centroids are
+    trained once on the derived corpus (seeded) and shared across the
+    5 probes."""
     from sketchlib.spark.similarity import cosine_topk_ivf, ivf_train_centroids
 
-    emb = _embeddings_with_near_dups(spark, sf_dir).persist()
-    cent = ivf_train_centroids(emb, k=16)
-    qids = [1000000 + 5 * i for i in range(5)]
-    found = 0
-    for qid in qids:
-        qv = list(emb.where(F.col("vec_id") == qid).select("embedding").first()[0])
-        top = cosine_topk_ivf(
-            emb.where(F.col("vec_id") != qid), qv, k=10, centroids=cent, nprobe=4
-        )
-        if (qid - 1000000) in {r.vec_id for r in top.collect()}:
-            found += 1
-    emb.unpersist()
-    if found < len(qids):
-        raise AssertionError(f"IVF near-dup recall {found}/{len(qids)} < 1.0")
-    return spark.createDataFrame(
-        [(len(qids), found, True)],
-        "n_queries long, origin_in_top10 long, recall_gate_passed boolean",
+    cent = ivf_train_centroids(_embeddings_with_near_dups(spark, sf_dir), k=16)
+    return _ann_recall_gate(
+        spark,
+        sf_dir,
+        "IVF",
+        lambda corpus, qv: cosine_topk_ivf(corpus, qv, k=10, centroids=cent, nprobe=4),
     )
 
 

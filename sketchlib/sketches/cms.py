@@ -130,7 +130,16 @@ class CountMinSketch(MergeableSketch):
         s = cls(width=meta["width"], depth=meta["depth"], hash_strategy=meta["hash_strategy"])
         s.counts = arrays["counts"].copy()
         s.total = meta["total"]
-        # pre-abs_total blobs: |weights| unknown; total is the best
-        # (and for the unweighted/positive paths, exact) reconstruction
-        s._abs_total = meta.get("abs_total", abs(meta["total"]))
+        if "abs_total" in meta:
+            s._abs_total = meta["abs_total"]
+        else:
+            # pre-abs_total blob: Σ|w| unknown. abs(total) alone would
+            # under-reconstruct for mixed-sign weights (e.g. +2^62 and
+            # -2^62 → total 0) and silently disable the wrap guard, so
+            # take the max with the largest per-row Σ|bin| — every bin
+            # is ≤ Σ|w|, so this keeps "bins ≤ _abs_total" true and the
+            # guard sound for all future growth. (Python ints: the row
+            # sums themselves may exceed int64.)
+            row_abs = np.abs(s.counts.astype(object)).sum(axis=1)
+            s._abs_total = max(abs(meta["total"]), int(row_abs.max()) if len(row_abs) else 0)
         return s

@@ -288,12 +288,6 @@ def simhash_near_dup_pairs(
     ride ONE exploded column (one shuffle of (id, sig, key) rows, one
     self-join), and exact bit_count verification follows candidacy, so
     hash-collision false candidates cost only the compare."""
-    if n_blocks is None:
-        n_blocks = max_hamming + 3
-    if not 0 <= max_hamming < n_blocks <= 64:
-        raise ValueError("need 0 <= max_hamming < n_blocks <= 64")
-    from itertools import combinations
-
     # persist: both sides of the key self-join read this frame — the
     # signature UDF would recompute per side without it
     sh = (
@@ -302,12 +296,42 @@ def simhash_near_dup_pairs(
         .drop(text_col)
         .persist()
     )
+    out = simhash_candidate_pairs(sh, id_col=id_col, max_hamming=max_hamming,
+                                  n_blocks=n_blocks)
+    sh.unpersist()
+    return out
+
+
+def simhash_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """The Manku combination join over a precomputed (id, signature)
+    frame — split out so the blocking layer is testable on crafted
+    signatures (incl. sign-straddling int64 values) independent of the
+    text hashing. Returns (id_a, id_b, hamming), id_a < id_b.
+
+    Block values are extracted with shiftrightunsigned + bitwiseAND
+    mask — NOT ``%``, whose Spark semantics follow the dividend's sign
+    and would give negative block-0 values for signatures with bit 63
+    set, silently missing every sign-straddling pair."""
+    if n_blocks is None:
+        n_blocks = max_hamming + 3
+    if not 0 <= max_hamming < n_blocks <= 64:
+        raise ValueError("need 0 <= max_hamming < n_blocks <= 64")
+    from itertools import combinations
+
     base, rem = divmod(64, n_blocks)
     widths = [base + 1 if i < rem else base for i in range(n_blocks)]
     offsets = [sum(widths[:i]) for i in range(n_blocks)]
     blocks = [
         (
-            F.shiftrightunsigned(F.col("simhash"), offsets[i]) % F.lit(1 << widths[i])
+            F.shiftrightunsigned(F.col(sig_col), offsets[i]).bitwiseAND(
+                F.lit((1 << widths[i]) - 1)
+            )
         ).alias(f"b{i}")
         for i in range(n_blocks)
     ]
@@ -320,7 +344,7 @@ def simhash_near_dup_pairs(
         ]
     )
     banded = (
-        sh.select(id_col, "simhash", *blocks)
+        sig_df.select(id_col, F.col(sig_col).alias("simhash"), *blocks)
         .select(id_col, "simhash", F.explode(combo_keys).alias("ck"))
     )
     a, b = banded.alias("a"), banded.alias("b")
@@ -335,9 +359,9 @@ def simhash_near_dup_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    # materialize pair-scale candidates, then release the signature cache
+    # materialize pair-scale candidates eagerly so a caller-persisted
+    # signature frame can be released as soon as this returns
     out = cand.localCheckpoint(eager=True)
-    sh.unpersist()
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         out.withColumn("hamming", ham)

@@ -170,20 +170,25 @@ def ivf_train_centroids(
     iteration count). Returns (k, dim) float32 centroids.
 
     Sampling is a seeded Bernoulli ``df.sample`` over the WHOLE table
-    — unbiased for any layout, unlike the previous ``limit(sample)``
-    which read the first partitions only (biased for time- or
-    host-clustered data). The fraction is sized from one count() at
-    index-build time (a one-off scan); pass ``sample_fraction`` to
-    skip the count when the table size is already known."""
+    — unbiased for any layout, unlike a ``limit(sample)`` which reads
+    the first partitions only (biased for time- or host-clustered
+    data). ALL sampled rows are collected (never limit()-ed, which
+    would reintroduce the first-partitions bias on the sampled
+    subset); if more than ``sample`` came back, a seeded driver-side
+    choice trims them uniformly. The fraction is sized from one
+    count() at index-build time (a one-off scan); pass
+    ``sample_fraction`` to skip the count when the table size is
+    already known."""
     if sample_fraction is None:
         n = df.count()
-        sample_fraction = min(1.0, (2.0 * sample) / max(n, 1))
-    rows = (
-        df.select(vec_col).sample(fraction=sample_fraction, seed=seed).limit(sample).collect()
-    )
+        sample_fraction = min(1.0, (1.2 * sample) / max(n, 1))
+    rows = df.select(vec_col).sample(fraction=sample_fraction, seed=seed).collect()
     if len(rows) < k:  # tiny/unlucky sample: fall back to a direct take
         rows = df.select(vec_col).limit(sample).collect()
     x = np.array([r[0] for r in rows], np.float32)
+    if len(x) > sample:
+        trim_rng = np.random.Generator(np.random.PCG64(seed))
+        x = x[trim_rng.choice(len(x), size=sample, replace=False)]
     rng = np.random.Generator(np.random.PCG64(seed))
     cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
     for _ in range(iters):

@@ -37,6 +37,7 @@ import io
 from collections.abc import Iterator
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
@@ -44,6 +45,34 @@ _CRLF2 = b"\r\n\r\n"
 _MARKER = b"WARC/"
 _MAX_HEADER_BYTES = 1 << 20  # a header block larger than 1 MiB is corrupt
 DEFAULT_MAX_RECORD_BYTES = 1 << 30  # corrupt/hostile Content-Length guard
+
+
+_VERSION_RE = None  # compiled lazily (module import stays re-free for executors)
+
+
+def _plausible_record_at(buf, pos: int) -> bool:
+    """True when ``buf[pos:]`` starts a credible WARC record: a
+    ``WARC/<digits>`` version line ending in CRLF, a header block
+    terminated by CRLFCRLF, and a parseable Content-Length whose
+    payload fits inside the remaining bytes. Used to disambiguate
+    corrupt mid-archive lengths (resync) from a truncated final record
+    whose payload happens to contain the marker bytes (stop)."""
+    global _VERSION_RE
+    if _VERSION_RE is None:
+        import re
+
+        _VERSION_RE = re.compile(rb"WARC/\d+(\.\d+)?\r\n")
+    if not _VERSION_RE.match(bytes(buf[pos : pos + 16])):
+        return False
+    hdr_end = buf.find(_CRLF2, pos, pos + _MAX_HEADER_BYTES)
+    if hdr_end < 0:
+        return False
+    headers = _parse_headers(bytes(buf[pos:hdr_end]))
+    try:
+        clen = int(headers.get("content-length", ""))
+    except ValueError:
+        return False
+    return 0 <= clen <= len(buf) - (hdr_end + len(_CRLF2))
 
 
 def _parse_headers(block: bytes) -> dict[str, str]:
@@ -120,11 +149,18 @@ def iter_warc_stream(
             del buf[:start]
             continue
         if not fill(start + clen):
-            # payload overruns end-of-stream. If another marker follows
-            # within the remaining bytes the length was corrupt — skip
-            # the bad record and resync; otherwise it is the truncated
-            # final record and parsing ends.
-            if buf.find(_MARKER, start) < 0:
+            # payload overruns end-of-stream. Two explanations: the
+            # Content-Length was corrupt and real records follow, or
+            # this is the archive's legitimately truncated final record
+            # whose partial payload merely CONTAINS the bytes "WARC/"
+            # (e.g. an HTML page about web archiving). Resync only to a
+            # position that parses as a plausible record header —
+            # version line + terminated header block with an in-bounds
+            # length — otherwise honor the truncated-final contract.
+            nxt = buf.find(_MARKER, start)
+            while nxt >= 0 and not _plausible_record_at(buf, nxt):
+                nxt = buf.find(_MARKER, nxt + 1)
+            if nxt < 0:
                 return
             del buf[:start]
             continue
@@ -222,7 +258,21 @@ def read_warc(
             yield flush()
 
     # binaryFile prunes unrequested columns: selecting only `path` is a
-    # listing, not a read. One task per archive (repartition by path).
+    # listing, not a read (the count below is a metadata-only job, paid
+    # once at plan-construction). EXACTLY one task per archive: a
+    # row_number over the (metadata-scale) path list range-partitioned
+    # into n_files partitions — hash-partitioning paths would put 2-3
+    # archives on some tasks and none on ~1/e of them (balls in bins),
+    # making wall-clock 2-3× the slowest archive instead of 1×.
+    from pyspark.sql.window import Window
+
     files = spark.read.format("binaryFile").load(path).select("path")
     n_files = max(files.count(), 1)
-    return files.repartition(n_files, "path").mapInPandas(parse, PAGES_SCHEMA)
+    indexed = files.withColumn(
+        "_i", F.row_number().over(Window.orderBy("path"))
+    )
+    return (
+        indexed.repartitionByRange(n_files, "_i")
+        .drop("_i")
+        .mapInPandas(parse, PAGES_SCHEMA)
+    )

@@ -10,11 +10,15 @@ batch's delta shard table into the running shard table PER SHARD
 state scales exactly like the batch path: per-task memory = one shard,
 total state = the on-disk shard table, never a driver-held blob.
 
-State layout under ``state_dir``::
+State layout under ``state_dir`` (any Hadoop-visible filesystem —
+``hdfs://``, ``s3a://``, or a local path; ALL state I/O, including the
+pointer file, goes through the Hadoop FileSystem API of the session,
+never the driver's local ``os`` module, so the layout works wherever
+the executors' parquet writes land)::
 
     epoch-{batch_id}/   shard table (SHARD_SCHEMA parquet) AFTER batch
     CURRENT             pointer file: "{batch_id}" of the last applied
-                        batch (written atomically via os.replace)
+                        batch (written to a temp name + atomic rename)
 
 Exactly-once across failures rides foreachBatch's epoch replay: a
 replayed batch_id ≤ CURRENT is skipped (its merge already published),
@@ -22,11 +26,14 @@ and a crash between the epoch write and the pointer swap just
 recomputes the epoch from the previous pointer — the merge is
 deterministic, so the overwrite is byte-stable. This is the standard
 idempotent-foreachBatch recipe from the Structured Streaming guide.
+
+Disk ceiling: each batch writes a full new shard-table copy (merge
+output), so after the pointer swap every epoch older than the
+PREVIOUS one is deleted — steady-state footprint is 2× the filter
+(current + one predecessor for crash recovery), not batches × filter.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame
 
@@ -48,47 +55,95 @@ class ShardedStreamBuilder:
     ):
         self.key_col = key_col
         self.num_shards = num_shards
-        self.state_dir = state_dir
+        self.state_dir = state_dir.rstrip("/")
         self.cfg = cfg
         self.factory = factory
-        os.makedirs(state_dir, exist_ok=True)
+
+    # ---------------------------------------------------- hadoop fs helpers
+
+    def _fs(self, spark):
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(self.state_dir)
+        return jvm, path.getFileSystem(conf)
+
+    def _pointer(self, spark) -> int | None:
+        jvm, fs = self._fs(spark)
+        p = jvm.org.apache.hadoop.fs.Path(f"{self.state_dir}/CURRENT")
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
+        try:
+            # byte-at-a-time read: the pointer is < 20 bytes and this
+            # avoids a classpath dependency for bulk reads via py4j
+            data = bytearray()
+            b = stream.read()
+            while b != -1:
+                data.append(b)
+                b = stream.read()
+        finally:
+            stream.close()
+        return int(bytes(data).decode().strip())
+
+    def _publish_pointer(self, spark, batch_id: int) -> None:
+        jvm, fs = self._fs(spark)
+        Path = jvm.org.apache.hadoop.fs.Path
+        tmp = Path(f"{self.state_dir}/.CURRENT.tmp-{batch_id}")
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(str(batch_id).encode()))
+        finally:
+            out.close()
+        dst = Path(f"{self.state_dir}/CURRENT")
+        if fs.exists(dst):
+            fs.delete(dst, False)
+        fs.rename(tmp, dst)  # atomic on HDFS/local; last-writer-wins
+
+    def _prune_epochs(self, spark, keep_from: int) -> None:
+        """Delete epoch dirs older than ``keep_from`` (the predecessor
+        of CURRENT stays for crash recovery)."""
+        jvm, fs = self._fs(spark)
+        Path = jvm.org.apache.hadoop.fs.Path
+        base = Path(self.state_dir)
+        if not fs.exists(base):
+            return
+        for status in fs.listStatus(base):
+            name = status.getPath().getName()
+            if name.startswith("epoch-"):
+                try:
+                    eid = int(name.removeprefix("epoch-"))
+                except ValueError:
+                    continue
+                if eid < keep_from:
+                    fs.delete(status.getPath(), True)
 
     # ------------------------------------------------------------ state io
-
-    def _pointer(self) -> int | None:
-        p = os.path.join(self.state_dir, "CURRENT")
-        if not os.path.exists(p):
-            return None
-        with open(p) as fh:
-            return int(fh.read().strip())
 
     def current_shards(self, spark) -> DataFrame | None:
         """The shard table after the last applied batch (None before
         the first batch). This IS the filter — probe it with
         ``spark.shard.probe_sharded``."""
-        cur = self._pointer()
+        cur = self._pointer(spark)
         if cur is None:
             return None
-        return spark.read.parquet(os.path.join(self.state_dir, f"epoch-{cur}"))
+        return spark.read.parquet(f"{self.state_dir}/epoch-{cur}")
 
     # ------------------------------------------------------------- folding
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        cur = self._pointer()
+        spark = batch_df.sparkSession
+        cur = self._pointer(spark)
         if cur is not None and batch_id <= cur:
             return  # replayed epoch: merge already published, skip
-        spark = batch_df.sparkSession
         delta = build_sharded(
             batch_df, self.key_col, self.num_shards, cfg=self.cfg, factory=self.factory
         )
         prev = self.current_shards(spark)
         merged = merge_sharded(delta.unionByName(prev)) if prev is not None else delta
-        epoch_dir = os.path.join(self.state_dir, f"epoch-{batch_id}")
-        merged.write.mode("overwrite").parquet(epoch_dir)
-        tmp = os.path.join(self.state_dir, f".CURRENT.tmp-{batch_id}")
-        with open(tmp, "w") as fh:
-            fh.write(str(batch_id))
-        os.replace(tmp, os.path.join(self.state_dir, "CURRENT"))  # atomic publish
+        merged.write.mode("overwrite").parquet(f"{self.state_dir}/epoch-{batch_id}")
+        self._publish_pointer(spark, batch_id)
+        if cur is not None:
+            self._prune_epochs(spark, keep_from=cur)
 
     def attach(self, stream_df, checkpoint_dir: str, trigger_once: bool = True):
         writer = (

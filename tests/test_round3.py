@@ -47,6 +47,34 @@ def test_simhash_manku_equals_bruteforce(spark):
     assert len(want) > 0  # non-vacuous: injected copies exist
 
 
+def test_simhash_blocking_sign_straddling_signatures(spark):
+    """Signatures with bit 63 set are NEGATIVE int64 in Spark; block
+    extraction must be sign-safe (bitwiseAND mask, not %, whose Spark
+    semantics follow the dividend's sign). Regression for a confirmed
+    silent false negative: a Hamming-3 pair straddling the sign bit
+    returned zero candidates."""
+    from sketchlib.spark.dedup import simhash_candidate_pairs
+
+    as_i64 = lambda u: u - (1 << 64) if u >= (1 << 63) else u  # noqa: E731
+    sig_a = as_i64((1 << 63) | (1 << 20) | 5)  # negative int64
+    sig_b = as_i64((1 << 40) | 5)  # positive; Hamming(a,b) = 3
+    rows = [(1, sig_a), (2, sig_b), (3, as_i64((1 << 62) | 7))]
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_candidate_pairs(df, max_hamming=3).collect()
+    }
+    assert (1, 2, 3) in got
+    # brute-force equality over the crafted set
+    want = set()
+    for i, (ia, sa) in enumerate(rows):
+        for ib, sb in rows[i + 1 :]:
+            h = bin((sa ^ sb) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                want.add((ia, ib, h))
+    assert got == want
+
+
 def test_simhash_blocking_param_validation(spark):
     from sketchlib.spark.dedup import simhash_near_dup_pairs
 
@@ -263,6 +291,45 @@ def test_sharded_stream_builder_merges_and_replays(spark, tmp_path):
     shards2 = b.current_shards(spark)
     assert {r.shard_id: r.item_count for r in shards2.collect()} == items_after
     shards.unpersist()
+    # epoch pruning: after batch 2 publishes, epochs older than the
+    # predecessor of CURRENT are deleted (steady-state = 2 copies)
+    import os
+
+    batch2 = spark.createDataFrame([(f"c{i}",) for i in range(50)], "key string")
+    b.process_batch(batch2, 2)
+    state = tmp_path / "state"
+    assert not (state / "epoch-0").exists()
+    assert (state / "epoch-1").exists() and (state / "epoch-2").exists()
+    assert (state / "CURRENT").read_text().strip() == "2"
+    assert os.path.isdir(state)
+
+
+def test_cms_legacy_blob_mixed_sign_guard_reconstruction():
+    """A pre-abs_total blob with mixed-sign weights has total≈0;
+    reconstruction must NOT take abs(total)=0 (which would disable the
+    wrap guard) but bound Σ|w| from the per-row |bin| sums."""
+    from sketchlib.sketches import CountMinSketch
+    from sketchlib.sketches.base import save_arrays
+
+    s = CountMinSketch(width=8, depth=2)
+    s.update(["x"], weights=np.array([2**61], dtype=np.int64))
+    s.update(["y"], weights=np.array([-(2**61)], dtype=np.int64))
+    assert s.total == 0
+    legacy = save_arrays(
+        {
+            "kind": "cms",
+            "width": s.width,
+            "depth": s.depth,
+            "hash_strategy": s.hash_strategy,
+            "total": s.total,
+        },
+        counts=s.counts,
+    )
+    restored = CountMinSketch.from_bytes(legacy)
+    assert restored._abs_total >= 2**61  # guard stays armed
+    with pytest.raises(OverflowError):
+        for _ in range(8):  # compounding merges must trip before wrap
+            restored.merge(CountMinSketch.from_bytes(legacy))
 
 
 # ------------------------------------------------------ connected components

@@ -1033,7 +1033,9 @@ def q_minhash_identical(spark, sf_dir):
     from sketchlib.spark.dedup import minhash_dedup_pairs
 
     docs = _docs_with_dups(spark, sf_dir)
-    cand = minhash_dedup_pairs(docs, num_perm=128, bands=32, threshold=1.0)
+    cand = minhash_dedup_pairs(
+        docs, num_perm=128, bands=32, threshold=1.0, repartition=64
+    )
     ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
     tb = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
     return (
@@ -1055,7 +1057,9 @@ def q_minhash_near_dups(spark, sf_dir):
     from sketchlib.spark.dedup import minhash_dedup_pairs
 
     docs = _docs_with_dups(spark, sf_dir)
-    cand = minhash_dedup_pairs(docs, num_perm=128, bands=32, threshold=0.7)
+    cand = minhash_dedup_pairs(
+        docs, num_perm=128, bands=32, threshold=0.7, repartition=64
+    )
     ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
     tb = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
     return (

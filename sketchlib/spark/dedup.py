@@ -170,15 +170,28 @@ def minhash_dedup_pairs(
     shingle_k: int = 5,
     threshold: float = 0.8,
     seed: int = 42,
+    repartition: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, verified by signature
     Jaccard ≥ threshold. Returns (id_a, id_b, jaccard_sim), id_a < id_b.
 
-    Scale shape: explode to (band_key → id), self-join per band bucket
-    (shuffle on band hash — uniform by construction), dedupe pairs,
-    verify with one array comparison. No n² anywhere.
-    """
+    Scale shape: explode to (band_key → id) — ids ONLY, ~16 B/row:
+    the num_perm-long signatures never ride the ×bands explosion (they
+    join back onto the deduped candidate PAIRS, which are sparse) —
+    the same vectors-off-the-band-explosion rule the embedding LSH
+    follows. Self-join per band bucket (shuffle on band hash — uniform
+    by construction), dedupe pairs, verify with one array comparison.
+    No n² anywhere.
+
+    ``repartition``: signature hashing is CPU-bound in the Arrow UDF,
+    so parallelism = input partition count; a union-of-filters input
+    (like the derived dup corpus) can arrive with just a handful of
+    partitions and leave most cores idle. At warehouse scale scan
+    partitions are plentiful — pass this only for small/coalesced
+    inputs (it shuffles the text once)."""
     rows_per_band = num_perm // bands
+    if repartition:
+        df = df.repartition(repartition)
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed)
 
     @F.pandas_udf("array<long>")
@@ -197,14 +210,12 @@ def minhash_dedup_pairs(
             key ^= np.arange(bands, dtype=np.uint64)[None, :] << U64(56)
         return pd.Series(list(key.astype(np.int64)))
 
-    # persist: both sides of the band self-join read this frame — without
-    # it the signature UDF recomputes per side (at warehouse scale you'd
-    # write signatures to a table here instead)
-    banded = (
-        sigs.withColumn("band", F.explode(band_keys("minhash")))
-        .select(id_col, "minhash", "band")
-        .persist()
-    )
+    # persist the n-scale signature frame: the band self-join reads it
+    # on both sides AND the verify stage joins it back per pair side —
+    # without it the signature UDF recomputes 4× (at warehouse scale
+    # you'd write signatures to a table here instead)
+    sigs = sigs.persist()
+    banded = sigs.select(id_col, F.explode(band_keys("minhash")).alias("band"))
     left = banded.alias("a")
     right = banded.alias("b")
     cand = (
@@ -213,25 +224,28 @@ def minhash_dedup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.minhash").alias("sig_a"),
-            F.col("b.minhash").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    # materialize the (pair-scale) candidates so the banded cache can be
-    # released now instead of leaking for the session's lifetime
-    cand = cand.localCheckpoint(eager=True)
-    banded.unpersist()
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b"))
     sim = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, v: acc + v,
     ) / F.lit(num_perm)
-    return (
-        cand.withColumn("jaccard_sim", sim)
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard_sim", sim)
         .where(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
     )
+    # materialize the (pair-scale) result so the signature cache can be
+    # released now instead of leaking for the session's lifetime
+    out = verified.localCheckpoint(eager=True)
+    sigs.unpersist()
+    return out
 
 
 # --------------------------------------------------------------- simhash

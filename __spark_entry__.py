@@ -1389,6 +1389,45 @@ def q_hll_set_ops(spark, sf_dir):
     )
 
 
+def q_kmv_set_ops(spark, sf_dir):
+    """KMV (bottom-k) sketch set algebra — the estimator HLL cannot
+    provide: intersection/Jaccard with MULTIPLICATIVE O(1/√k) error
+    (Beyer et al. SIGMOD'07), vs inclusion-exclusion's additive-in-
+    union error. Same A/B key sets as hll_set_ops (URGENT vs HIGH
+    order customers), distributed per-partition build + tree merge,
+    then |A∪B| / |A∩B| / Jaccard from the two sketches alone, gated
+    in-query at 4/√(k−2) against exact SQL. Deterministic hashes ⇒
+    exact verdict row."""
+    from sketchlib.sketches import KMVSketch
+    from sketchlib.sketches.kmv import kmv_set_ops
+    from sketchlib.spark import build_sketches, tree_merge
+
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.where("o_orderpriority = '1-URGENT'").select(
+        F.col("o_custkey").cast("string").alias("key")
+    )
+    b = orders.where("o_orderpriority = '2-HIGH'").select(
+        F.col("o_custkey").cast("string").alias("key")
+    )
+    ka = tree_merge(build_sketches(a, "key", lambda: KMVSketch(k=1024)))
+    kb = tree_merge(build_sketches(b, "key", lambda: KMVSketch(k=1024)))
+    union_est, inter_est, j_est = kmv_set_ops(ka, kb)
+    ea = a.distinct().count()
+    eb = b.distinct().count()
+    eu = a.union(b).distinct().count()
+    ei = ea + eb - eu
+    tol = 4 * ka.std_error()
+    union_ok = abs(union_est - eu) <= tol * eu + 1
+    inter_ok = abs(inter_est - ei) <= tol * eu + 1
+    j_ok = abs(j_est - (ei / max(eu, 1))) <= tol
+    return spark.createDataFrame(
+        [(ea, eb, eu, ei, bool(union_ok), bool(inter_ok), bool(j_ok))],
+        "exact_a long, exact_b long, exact_union long, exact_intersection long, "
+        "union_within_bound boolean, intersection_within_bound boolean, "
+        "jaccard_within_bound boolean",
+    )
+
+
 def q_sharded_bloom_membership(spark, sf_dir):
     """The sharded build is sketch-GENERIC (factory protocol): the same
     key-routed build/probe that shards the cuckoo filter shards a
@@ -1682,7 +1721,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_sketch_family": q_web_sketch_family,
         "cuckoo_membership": q_cuckoo_membership,
         "cuckoo_lifecycle": q_cuckoo_lifecycle,
-        "per_source_distinct": q_per_source_distinct,
         "hash_indices_contract": q_hash_indices_contract,
         "word_token_count": q_word_token_count,
         "simhash_near_dups": q_simhash_near_dups,
@@ -1701,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "hll_set_ops": q_hll_set_ops,
+        "kmv_set_ops": q_kmv_set_ops,
         "sharded_bloom_membership": q_sharded_bloom_membership,
         "streaming_incremental": q_streaming_incremental,
         "streaming_stateful": q_streaming_stateful,
@@ -1730,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_source": q_warc_source,
         "multimodal_decode": q_multimodal_decode,
         # ---- tail: stable since round 1, driver rows green twice ----
+        "per_source_distinct": q_per_source_distinct,
         "top_tokens": q_top_tokens,
         "grouped_quantiles": q_grouped_quantiles,
         "membership_semi_join": q_membership_semi_join,
@@ -1953,6 +1993,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sharded_bloom_membership": (
             "SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS key FROM customer"
+        ),
+        "kmv_set_ops": (
+            "WITH a AS (SELECT DISTINCT o_custkey FROM orders "
+            "WHERE o_orderpriority = '1-URGENT'), "
+            "b AS (SELECT DISTINCT o_custkey FROM orders "
+            "WHERE o_orderpriority = '2-HIGH') "
+            "SELECT (SELECT COUNT(*) FROM a) AS exact_a, "
+            "(SELECT COUNT(*) FROM b) AS exact_b, "
+            "(SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) "
+            "AS exact_union, "
+            "(SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) "
+            "AS exact_intersection, "
+            "TRUE AS union_within_bound, TRUE AS intersection_within_bound, "
+            "TRUE AS jaccard_within_bound"
         ),
         "sessionization": (
             "WITH g AS (SELECT user_id, CASE WHEN lag(epoch(ts)) OVER w IS NULL "

@@ -11,6 +11,7 @@ from .bloom import BloomFilter
 from .cms import CountMinSketch
 from .hll import HyperLogLog
 from .kll import KLLSketch
+from .kmv import KMVSketch
 from .tdigest import TDigest
 
 SKETCH_KINDS = {
@@ -18,6 +19,7 @@ SKETCH_KINDS = {
     "cms": CountMinSketch,
     "hll": HyperLogLog,
     "kll": KLLSketch,
+    "kmv": KMVSketch,
     "tdigest": TDigest,
 }
 
@@ -26,6 +28,7 @@ __all__ = [
     "CountMinSketch",
     "HyperLogLog",
     "KLLSketch",
+    "KMVSketch",
     "TDigest",
     "SKETCH_KINDS",
 ]

@@ -191,6 +191,68 @@ def test_stratified_hash_sample_exact_k_per_group(spark):
     assert counts == {"s0": 7, "s1": 7, "s2": 7}
 
 
+# ------------------------------------------------------------------- KMV
+
+
+def test_kmv_estimate_unsaturated_exact_and_saturated_bound():
+    from sketchlib.sketches import KMVSketch
+
+    s = KMVSketch(k=256)
+    s.update([f"v{i}" for i in range(100)])
+    assert s.estimate() == 100.0  # below k: exact
+    s.update([f"v{i}" for i in range(20000)])
+    assert abs(s.estimate() - 20000) <= 4 * s.std_error() * 20000
+
+
+def test_kmv_merge_associative_commutative_idempotent():
+    from sketchlib.sketches import KMVSketch
+
+    def mk(lo, hi):
+        s = KMVSketch(k=128)
+        s.update([f"v{i}" for i in range(lo, hi)])
+        return s
+
+    ab_c = mk(0, 500).merge(mk(250, 750)).merge(mk(500, 1000))
+    a_bc = mk(0, 500).merge(mk(250, 750).merge(mk(500, 1000)))
+    assert np.array_equal(ab_c.values, a_bc.values)
+    ba = mk(250, 750).merge(mk(0, 500))
+    ab = mk(0, 500).merge(mk(250, 750))
+    assert np.array_equal(ab.values, ba.values)
+    twice = mk(0, 500).merge(mk(0, 500))  # idempotent: same value set
+    assert np.array_equal(twice.values, mk(0, 500).values)
+
+
+def test_kmv_serde_roundtrip_via_kind_registry():
+    from sketchlib.serde import loads
+    from sketchlib.sketches import KMVSketch
+
+    s = KMVSketch(k=64)
+    s.update([f"v{i}" for i in range(1000)])
+    r = loads(s.to_bytes())
+    assert isinstance(r, KMVSketch)
+    assert np.array_equal(r.values, s.values) and r.k == s.k
+
+
+def test_kmv_set_ops_beats_inclusion_exclusion_regime():
+    """Small overlap of large sets — the regime where HLL inclusion-
+    exclusion drowns (error additive in |union|) and KMV's
+    multiplicative O(1/sqrt k) Jaccard survives."""
+    from sketchlib.sketches import KMVSketch
+    from sketchlib.sketches.kmv import kmv_set_ops
+
+    a, b = KMVSketch(k=2048), KMVSketch(k=2048)
+    a.update([f"a{i}" for i in range(50000)] + [f"c{i}" for i in range(2500)])
+    b.update([f"b{i}" for i in range(50000)] + [f"c{i}" for i in range(2500)])
+    union_est, inter_est, j = kmv_set_ops(a, b)
+    exact_union, exact_inter = 102500, 2500
+    assert abs(union_est - exact_union) <= 4 * a.std_error() * exact_union
+    # intersection: multiplicative-ish via jaccard, gate vs union scale
+    assert abs(inter_est - exact_inter) <= 4 * a.std_error() * exact_union
+    assert abs(j - exact_inter / exact_union) <= 4 * a.std_error()
+    # operands untouched by the set-op computation
+    assert abs(a.estimate() - 52500) <= 4 * a.std_error() * 52500
+
+
 # ------------------------------------------------------------- hll set ops
 
 

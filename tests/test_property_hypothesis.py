@@ -195,3 +195,24 @@ def test_shingle_hash_batch_set_semantics(docs, k):
     for i in range(len(texts)):
         for j in range(i):
             assert len(ref[i] & ref[j]) == len(got[i] & got[j])
+
+
+@settings(max_examples=15, deadline=None)
+@given(data=st.lists(st.text(max_size=20), min_size=0, max_size=300))
+def test_kmv_split_merge_equals_single_random(data):
+    """KMV split-build + merge produces the identical bottom-k state as
+    a single-pass build over the whole list (merge = hash-set union,
+    so ANY partitioning gives byte-identical sketches)."""
+    from sketchlib.sketches import KMVSketch
+
+    whole = KMVSketch(k=32)
+    if data:
+        whole.update(data)
+    a, b = KMVSketch(k=32), KMVSketch(k=32)
+    if data[0::2]:
+        a.update(data[0::2])
+    if data[1::2]:
+        b.update(data[1::2])
+    a.merge(b)
+    assert a.to_bytes() == whole.to_bytes()
+    assert a.estimate() == whole.estimate()

@@ -430,6 +430,17 @@ def test_warc_stream_bounded_memory_parse(tmp_path):
         assert gh == eh and gp == ep
 
 
+def test_warc_stream_degenerate_inputs():
+    """Empty archives, garbage-only blobs, and EOF mid-marker or
+    mid-header all terminate cleanly with zero records."""
+    import io
+
+    from sketchlib.spark.warc import iter_warc_stream
+
+    for blob in (b"", b"\x00" * 10000, b"WARC", b"WARC/1.0\r\n"):
+        assert list(iter_warc_stream(io.BytesIO(blob), chunk_size=64)) == []
+
+
 def test_warc_max_record_bytes_guard(tmp_path):
     """A Content-Length above max_record_bytes (hostile header) is
     skipped without buffering it; later records still surface."""

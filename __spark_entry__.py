@@ -1467,7 +1467,7 @@ def q_ann_cosine_topk(spark, sf_dir):
     return top.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
 
 
-def _ann_recall_gate(spark, sf_dir, label, search):
+def _ann_recall_gate(spark, sf_dir, label, search, emb=None):
     """Shared recall-gate protocol for the approximate-search queries
     (one source of truth for the injected-dup qid scheme, the
     origin-id derivation, the raise-on-miss gate, and the verdict
@@ -1479,8 +1479,12 @@ def _ann_recall_gate(spark, sf_dir, label, search):
     query raises. Everything is seeded/deterministic — this cannot
     flake, only genuinely break — so the verdict row is exact and
     oracle-comparable (round-2 review replaced the ungated recall@10
-    demos that a broken index would still have 'passed')."""
-    emb = _embeddings_with_near_dups(spark, sf_dir).persist()
+    demos that a broken index would still have 'passed').
+
+    ``emb``: an already-persisted derived frame to reuse (the IVF gate
+    trains centroids on it first — without reuse the perturb-UDF union
+    would materialize three times)."""
+    emb = emb if emb is not None else _embeddings_with_near_dups(spark, sf_dir).persist()
     qids = [1000000 + 5 * i for i in range(5)]
     found = 0
     for qid in qids:
@@ -1514,15 +1518,18 @@ def q_ann_ivf_recall(spark, sf_dir):
     """IVF ANN recall gate (see _ann_recall_gate): the nprobe=4-of-16
     cell search must find each injected original. Centroids are
     trained once on the derived corpus (seeded) and shared across the
-    5 probes."""
+    5 probes; the persisted frame is shared with the gate so the
+    perturb-UDF union materializes once, not three times."""
     from sketchlib.spark.similarity import cosine_topk_ivf, ivf_train_centroids
 
-    cent = ivf_train_centroids(_embeddings_with_near_dups(spark, sf_dir), k=16)
+    emb = _embeddings_with_near_dups(spark, sf_dir).persist()
+    cent = ivf_train_centroids(emb, k=16)
     return _ann_recall_gate(
         spark,
         sf_dir,
         "IVF",
         lambda corpus, qv: cosine_topk_ivf(corpus, qv, k=10, centroids=cent, nprobe=4),
+        emb=emb,
     )
 
 

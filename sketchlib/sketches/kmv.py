@@ -36,8 +36,10 @@ _U64_SPAN = float(1 << 64)
 
 class KMVSketch(MergeableSketch):
     def __init__(self, k: int = 1024, hash_strategy: str = "xx"):
-        if k < 2:
-            raise ValueError("KMV needs k >= 2")
+        if k < 3:
+            # k=2 would make std_error() = 1/sqrt(k-2) divide by zero,
+            # and the estimator variance is unbounded below k=3 anyway
+            raise ValueError("KMV needs k >= 3")
         self.k = k
         self.hash_strategy = hash_strategy
         self.values = np.empty(0, np.uint64)  # sorted, distinct, ≤ k

@@ -310,10 +310,15 @@ def simhash_near_dup_pairs(
         .drop(text_col)
         .persist()
     )
-    out = simhash_candidate_pairs(sh, id_col=id_col, max_hamming=max_hamming,
-                                  n_blocks=n_blocks)
-    sh.unpersist()
-    return out
+    try:
+        # the eager checkpoint inside materializes the pairs before the
+        # finally runs; try/finally so a validation error cannot leak
+        # the persist registration
+        return simhash_candidate_pairs(
+            sh, id_col=id_col, max_hamming=max_hamming, n_blocks=n_blocks
+        )
+    finally:
+        sh.unpersist()
 
 
 def simhash_candidate_pairs(

@@ -182,7 +182,17 @@ def ivf_train_centroids(
     if sample_fraction is None:
         n = df.count()
         sample_fraction = min(1.0, (1.2 * sample) / max(n, 1))
-    rows = df.select(vec_col).sample(fraction=sample_fraction, seed=seed).collect()
+    # limit(16×sample) is a driver-OOM guard for a caller-supplied
+    # fraction sized from a stale estimate — it binds only on a ≥16×
+    # overshoot (where a first-partitions subset OF THE SAMPLED ROWS
+    # beats an unbounded collect); in the sized-fraction path above it
+    # never binds, so the sample stays layout-unbiased
+    rows = (
+        df.select(vec_col)
+        .sample(fraction=sample_fraction, seed=seed)
+        .limit(16 * sample)
+        .collect()
+    )
     if len(rows) < k:  # tiny/unlucky sample: fall back to a direct take
         rows = df.select(vec_col).limit(sample).collect()
     x = np.array([r[0] for r in rows], np.float32)

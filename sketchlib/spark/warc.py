@@ -52,11 +52,14 @@ _VERSION_RE = None  # compiled lazily (module import stays re-free for executors
 
 def _plausible_record_at(buf, pos: int) -> bool:
     """True when ``buf[pos:]`` starts a credible WARC record: a
-    ``WARC/<digits>`` version line ending in CRLF, a header block
-    terminated by CRLFCRLF, and a parseable Content-Length whose
-    payload fits inside the remaining bytes. Used to disambiguate
-    corrupt mid-archive lengths (resync) from a truncated final record
-    whose payload happens to contain the marker bytes (stop)."""
+    ``WARC/<digits>`` version line ending in CRLF and a header block
+    terminated by CRLFCRLF. Deliberately EXACTLY as tolerant as the
+    main parser (which clamps missing/garbage Content-Length to 0) —
+    a stricter check here would refuse to resync onto a record the
+    parser itself would happily yield, discarding the archive tail.
+    Used to disambiguate corrupt mid-archive lengths (resync) from a
+    truncated final record whose payload happens to contain the
+    marker bytes (stop)."""
     global _VERSION_RE
     if _VERSION_RE is None:
         import re
@@ -64,15 +67,7 @@ def _plausible_record_at(buf, pos: int) -> bool:
         _VERSION_RE = re.compile(rb"WARC/\d+(\.\d+)?\r\n")
     if not _VERSION_RE.match(bytes(buf[pos : pos + 16])):
         return False
-    hdr_end = buf.find(_CRLF2, pos, pos + _MAX_HEADER_BYTES)
-    if hdr_end < 0:
-        return False
-    headers = _parse_headers(bytes(buf[pos:hdr_end]))
-    try:
-        clen = int(headers.get("content-length", ""))
-    except ValueError:
-        return False
-    return 0 <= clen <= len(buf) - (hdr_end + len(_CRLF2))
+    return buf.find(_CRLF2, pos, pos + _MAX_HEADER_BYTES) >= 0
 
 
 def _parse_headers(block: bytes) -> dict[str, str]:
@@ -162,7 +157,11 @@ def iter_warc_stream(
                 nxt = buf.find(_MARKER, nxt + 1)
             if nxt < 0:
                 return
-            del buf[:start]
+            # jump straight TO the verified position — deleting only to
+            # `start` would re-sync onto the first (possibly implausible)
+            # marker inside the corrupt payload and could eat the real
+            # record behind a bogus Content-Length
+            del buf[:nxt]
             continue
         yield headers, bytes(buf[start : start + clen])
         del buf[: start + clen]

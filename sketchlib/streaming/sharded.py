@@ -71,7 +71,28 @@ class ShardedStreamBuilder:
         jvm, fs = self._fs(spark)
         p = jvm.org.apache.hadoop.fs.Path(f"{self.state_dir}/CURRENT")
         if not fs.exists(p):
-            return None
+            # CURRENT can be missing mid-swap (the delete+rename pair in
+            # _publish_pointer is not atomic on every FS): recover from
+            # the newest COMPLETE epoch dir (Spark's _SUCCESS marker —
+            # the epoch write always finishes before the pointer swap
+            # starts, so the max complete epoch IS the last published
+            # state; partial writes lack _SUCCESS and are ignored).
+            best = None
+            base = jvm.org.apache.hadoop.fs.Path(self.state_dir)
+            if fs.exists(base):
+                for status in fs.listStatus(base):
+                    name = status.getPath().getName()
+                    if name.startswith("epoch-"):
+                        try:
+                            eid = int(name.removeprefix("epoch-"))
+                        except ValueError:
+                            continue
+                        ok = jvm.org.apache.hadoop.fs.Path(
+                            f"{self.state_dir}/{name}/_SUCCESS"
+                        )
+                        if fs.exists(ok) and (best is None or eid > best):
+                            best = eid
+            return best
         stream = fs.open(p)
         try:
             # byte-at-a-time read: the pointer is < 20 bytes and this
@@ -97,7 +118,12 @@ class ShardedStreamBuilder:
         dst = Path(f"{self.state_dir}/CURRENT")
         if fs.exists(dst):
             fs.delete(dst, False)
-        fs.rename(tmp, dst)  # atomic on HDFS/local; last-writer-wins
+        # the delete+rename pair is NOT one atomic step (and on object
+        # stores rename is copy+delete) — a crash in the gap is healed
+        # by _pointer()'s newest-complete-epoch recovery above, so the
+        # window can lose the pointer FILE but never published STATE
+        if not fs.rename(tmp, dst):
+            raise OSError(f"pointer rename failed: {tmp} -> {dst}")
 
     def _prune_epochs(self, spark, keep_from: int) -> None:
         """Delete epoch dirs older than ``keep_from`` (the predecessor

@@ -194,6 +194,13 @@ def test_stratified_hash_sample_exact_k_per_group(spark):
 # ------------------------------------------------------------------- KMV
 
 
+def test_kmv_rejects_degenerate_k():
+    from sketchlib.sketches import KMVSketch
+
+    with pytest.raises(ValueError):
+        KMVSketch(k=2)  # std_error() would divide by zero
+
+
 def test_kmv_estimate_unsaturated_exact_and_saturated_bound():
     from sketchlib.sketches import KMVSketch
 
@@ -364,6 +371,13 @@ def test_sharded_stream_builder_merges_and_replays(spark, tmp_path):
     assert (state / "epoch-1").exists() and (state / "epoch-2").exists()
     assert (state / "CURRENT").read_text().strip() == "2"
     assert os.path.isdir(state)
+    # pointer-loss recovery: a crash mid pointer-swap (delete+rename is
+    # not atomic) loses CURRENT but never published state — _pointer
+    # must recover from the newest COMPLETE (_SUCCESS-marked) epoch
+    (state / "CURRENT").unlink()
+    assert b._pointer(spark) == 2
+    recovered = b.current_shards(spark)
+    assert recovered is not None and recovered.count() > 0
 
 
 def test_cms_legacy_blob_mixed_sign_guard_reconstruction():

@@ -430,6 +430,42 @@ def test_warc_stream_bounded_memory_parse(tmp_path):
         assert gh == eh and gp == ep
 
 
+def test_warc_overrun_resync_skips_implausible_marker_in_payload():
+    """A corrupt overrunning record whose partial payload contains an
+    IMPLAUSIBLE 'WARC/' occurrence (html text, no version line /
+    terminated header) followed by a real record: resync must jump to
+    the verified real record, not the decoy — a bogus header at the
+    decoy could swallow the real record behind a fake Content-Length."""
+    import io
+
+    from sketchlib.datagen import warc_bytes
+    from sketchlib.spark.warc import iter_warc_records, iter_warc_stream
+
+    blob = warc_bytes(4, seed=21)
+    second = blob.find(b"WARC/", blob.find(b"\r\n\r\nWARC/") + 4)
+    third = blob.find(b"WARC/", second + 5)
+    import re
+
+    corrupt = re.sub(
+        rb"Content-Length: \d+", b"Content-Length: 999999999", blob[second:third], count=1
+    )
+    # decoy: marker-looking text with header-ish content, but no
+    # version line terminator pattern ("WARC/x.y\r\n") at the marker
+    decoy = b"see WARC/ iso spec Content-Length: 600\r\n\r\n padding"
+    mangled = blob[:second] + corrupt + decoy + blob[third:]
+    got = [
+        h for h, _ in iter_warc_stream(io.BytesIO(mangled), chunk_size=128)
+        if h.get("warc-type") == "response"
+    ]
+    exp = [
+        h for h, _ in iter_warc_records(blob) if h.get("warc-type") == "response"
+    ]
+    # the two records after the corrupt one must both survive
+    assert [h["warc-target-uri"] for h in got[-2:]] == [
+        h["warc-target-uri"] for h in exp[-2:]
+    ]
+
+
 def test_warc_stream_degenerate_inputs():
     """Empty archives, garbage-only blobs, and EOF mid-marker or
     mid-header all terminate cleanly with zero records."""

@@ -1428,6 +1428,81 @@ def q_kmv_set_ops(spark, sf_dir):
     )
 
 
+def q_source_similarity(spark, sf_dir):
+    """Cross-corpus similarity via GROUPED KMV sketches — the 100 TB
+    alternative to an exact all-pairs token join: one salted grouped
+    build produces a KB-sized bottom-k sketch per source (the shuffle
+    carries states, not tokens; KMV absorbs duplicate tokens
+    idempotently so no pre-distinct is needed), then every pairwise
+    Jaccard comes from sketch pairs alone. Gated per pair at
+    4/√(k−2) against the exact token-set Jaccard, which is also the
+    SQL oracle (identical \\S+ tokenization both engines). Raises if
+    ANY pair drifts out of bound."""
+    from sketchlib.serde import loads
+    from sketchlib.sketches import KMVSketch
+    from sketchlib.sketches.kmv import kmv_set_ops
+    from sketchlib.spark.grouped import build_grouped_sketches
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.col("source").cast("string").alias("source"),
+        F.explode(
+            F.expr("regexp_extract_all(coalesce(text,''), '\\\\S+', 0)")
+        ).alias("token"),
+    )
+    grouped = build_grouped_sketches(
+        toks, "source", "token", lambda: KMVSketch(k=1024)
+    )
+    sketches = {r.group_key: loads(r.state) for r in grouped.collect()}
+    tok = toks.distinct()
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = tok.groupBy("source").agg(F.count("*").alias("n"))
+    res = (
+        inter.join(
+            sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na")),
+            "source_a",
+        ).join(
+            sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb")),
+            "source_b",
+        )
+    )
+    tol = 4 * KMVSketch(k=1024).std_error()
+    out = []
+    for r in res.collect():
+        _, _, j_est = kmv_set_ops(sketches[r.source_a], sketches[r.source_b])
+        j_exact = r.inter / (r.na + r.nb - r.inter)
+        out.append(
+            (
+                r.source_a,
+                r.source_b,
+                r.inter,
+                r.na,
+                r.nb,
+                float(j_exact),
+                bool(abs(j_est - j_exact) <= tol),
+            )
+        )
+    bad = [o for o in out if not o[6]]
+    if bad:
+        raise AssertionError(f"KMV jaccard out of bound for {len(bad)} pairs")
+    return spark.createDataFrame(
+        out,
+        "source_a string, source_b string, inter long, na long, nb long, "
+        "jaccard double, kmv_within_bound boolean",
+    )
+
+
 def q_sharded_bloom_membership(spark, sf_dir):
     """The sharded build is sketch-GENERIC (factory protocol): the same
     key-routed build/probe that shards the cuckoo filter shards a
@@ -1729,7 +1804,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuckoo_membership": q_cuckoo_membership,
         "cuckoo_lifecycle": q_cuckoo_lifecycle,
         "hash_indices_contract": q_hash_indices_contract,
-        "word_token_count": q_word_token_count,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_knn": q_embedding_knn,
         "embedding_knn_recall": q_embedding_knn_recall,
@@ -1747,6 +1821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "hll_set_ops": q_hll_set_ops,
         "kmv_set_ops": q_kmv_set_ops,
+        "source_similarity": q_source_similarity,
         "sharded_bloom_membership": q_sharded_bloom_membership,
         "streaming_incremental": q_streaming_incremental,
         "streaming_stateful": q_streaming_stateful,
@@ -1776,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_source": q_warc_source,
         "multimodal_decode": q_multimodal_decode,
         # ---- tail: stable since round 1, driver rows green twice ----
+        "word_token_count": q_word_token_count,
         "per_source_distinct": q_per_source_distinct,
         "top_tokens": q_top_tokens,
         "grouped_quantiles": q_grouped_quantiles,
@@ -2000,6 +2076,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sharded_bloom_membership": (
             "SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS key FROM customer"
+        ),
+        "source_similarity": (
+            "WITH raw AS (SELECT CAST(source AS VARCHAR) AS source, "
+            "unnest(regexp_extract_all(coalesce(text,''), '\\S+')) AS t "
+            "FROM documents), "
+            "tok AS (SELECT DISTINCT source, t FROM raw), "
+            "sizes AS (SELECT source, COUNT(*) AS n FROM tok GROUP BY source), "
+            "i AS (SELECT a.source AS source_a, b.source AS source_b, "
+            "COUNT(*) AS inter FROM tok a JOIN tok b "
+            "ON a.t = b.t AND a.source < b.source GROUP BY 1, 2) "
+            "SELECT i.source_a, i.source_b, i.inter, sa.n AS na, sb.n AS nb, "
+            "CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) AS jaccard, "
+            "TRUE AS kmv_within_bound "
+            "FROM i JOIN sizes sa ON sa.source = i.source_a "
+            "JOIN sizes sb ON sb.source = i.source_b"
         ),
         "kmv_set_ops": (
             "WITH a AS (SELECT DISTINCT o_custkey FROM orders "

@@ -61,3 +61,76 @@ def test_spark_submit_py_files_roundtrip(tmp_path):
     res = json.loads(line.removeprefix("PYFILES_RESULT "))
     assert res["hits"] == 2000  # every inserted key answered: no false negatives
     assert res["false_pos"] <= 5  # 16-bit fingerprint FPR bound at n=2000
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not installed"
+)
+def test_spark_submit_warc_ingest_job(tmp_path):
+    """North-star E2E through the production entry point: WARC archives
+    (one plain, one gzip, one with an injected exact-duplicate page) →
+    streaming parse → scrub/dedup/quality/split corpus + sharded
+    membership table, submitted via --py-files from a clean cwd."""
+    import sys as _sys
+
+    _sys.path.insert(0, REPO)
+    from sketchlib.datagen import warc_bytes, write_warc
+
+    n = 40
+    write_warc(str(tmp_path / "a.warc"), n, seed=31)
+    blob = warc_bytes(n, seed=32)
+    # duplicate the whole second archive content once: every page of it
+    # is an exact text duplicate, so dedup must halve that archive
+    import gzip as _gzip
+
+    (tmp_path / "b.warc.gz").write_bytes(_gzip.compress(blob + blob))
+    zip_path = tmp_path / "sketchlib.zip"
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        pkg = os.path.join(REPO, "sketchlib")
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, REPO))
+    job = tmp_path / "job.py"
+    shutil.copy(os.path.join(REPO, "jobs", "warc_ingest_job.py"), job)
+    env = dict(os.environ)
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    env.pop("PYTHONPATH", None)
+    out = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", str(zip_path),
+            str(job),
+            "--input", str(tmp_path),
+            "--output", str(tmp_path / "out"),
+            "--shards", "4",
+            "--min-tokens", "1",
+        ],
+        cwd=tmp_path,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = next(
+        ln for ln in out.stdout.splitlines() if ln.startswith("WARC_INGEST_RESULT ")
+    )
+    res = json.loads(line.removeprefix("WARC_INGEST_RESULT "))
+    assert res["pages_in"] == 3 * n  # a.warc + doubled b archive
+    # the doubled archive's second copy must dedup away ENTIRELY
+    # (docs_kept ≤ 2n), and most originals survive — a handful may
+    # legitimately collapse too (cross-seed template collisions,
+    # near-empty texts), so the floor is loose
+    assert res["docs_kept"] <= 2 * n
+    assert res["docs_kept"] >= int(2 * n * 0.85)
+    assert res["dedup_and_quality_drop"] >= n  # ≥ the duplicated copy
+    assert os.path.isdir(tmp_path / "out" / "corpus")
+    assert os.path.isdir(tmp_path / "out" / "shards")

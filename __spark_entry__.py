@@ -1794,11 +1794,11 @@ def q_multimodal_decode(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRY ORDER MATTERS: the external driver's correctness artifact
     # covers the FIRST 50 entries. Round-3 rotation (per the round-2
-    # verdict): the 8 names the round-2 artifact missed (ann_*, *_index,
-    # simhash_buckets, warc_source, multimodal_decode) plus the new
-    # streaming_sharded now sit INSIDE the first 50; nine long-stable
-    # relational queries (green in rounds 1 AND 2, code untouched since)
-    # rotate to the tail.
+    # verdict): every name the round-2 artifact missed (ann_*, *_index,
+    # simhash_buckets, warc_source, multimodal_decode) plus ALL new
+    # round-3 queries sit INSIDE the first 50; the tail holds only
+    # long-stable queries (driver rows green in rounds 1 AND 2, code
+    # untouched since).
     return {
         "web_sketch_family": q_web_sketch_family,
         "cuckoo_membership": q_cuckoo_membership,

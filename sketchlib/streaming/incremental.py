@@ -53,14 +53,15 @@ class IncrementalSketchBuilder:
 
 
 def windowed_distinct_stream(stream_df, ts_col: str, key_col: str, window: str = "1 hour",
-                             watermark: str = "2 hours"):
+                             watermark: str = "2 hours", rsd: float = 0.05):
     """Watermarked tumbling-window approx distinct (native HLL++ path:
     approx_count_distinct is Spark's own HLL — the built-in we
-    cross-check our HLL against)."""
+    cross-check our HLL against). ``rsd``: relative standard deviation
+    target; smaller = more registers per window's state."""
     from pyspark.sql import functions as F
 
     return (
         stream_df.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window))
-        .agg(F.approx_count_distinct(key_col).alias("approx_distinct"))
+        .agg(F.approx_count_distinct(key_col, rsd).alias("approx_distinct"))
     )

@@ -26,7 +26,7 @@ def test_registry_shape():
     for name in (
         "ann_cosine_topk", "ann_lsh_recall", "ann_ivf_recall", "ann_index",
         "lsh_index", "simhash_buckets", "warc_source", "multimodal_decode",
-        "streaming_sharded", "hash_sample", "stratified_sample",
+        "streaming_sharded", "streaming_windowed", "hash_sample", "stratified_sample",
         "hll_set_ops", "kmv_set_ops", "source_similarity",
         "sharded_bloom_membership",
     ):

@@ -1012,7 +1012,13 @@ def q_streaming_windowed(spark, sf_dir):
     in-query against the exact per-hour distinct (rsd 0.02 ⇒ gate
     max(6% of exact, 3) — the absolute floor covers HLL++
     quantization at micro-cardinality windows); the exact counts +
-    verdicts are the compared columns."""
+    verdicts are the compared columns.
+
+    Complete mode is the BOUNDED-replay oracle harness only: it keeps
+    every window in state. An unbounded production stream uses
+    append/update mode, where the 2-hour watermark (already set here)
+    evicts closed windows — that eviction is the reason the watermark
+    exists."""
     import glob
     import os
     import shutil
@@ -1504,7 +1510,13 @@ def q_source_similarity(spark, sf_dir):
     Jaccard comes from sketch pairs alone. Gated per pair at
     4/√(k−2) against the exact token-set Jaccard, which is also the
     SQL oracle (identical \\S+ tokenization both engines). Raises if
-    ANY pair drifts out of bound."""
+    ANY pair drifts out of bound.
+
+    The pairwise loop here is driver-side over ≤20 KB-sized states
+    (190 pairs); at many-thousands-of-groups scale, self-join the
+    (group, state) table on a blocking key and run kmv_set_ops per
+    pair inside a pandas cogroup — the states are the same KBs, only
+    the pair enumeration moves executor-side."""
     from sketchlib.serde import loads
     from sketchlib.sketches import KMVSketch
     from sketchlib.sketches.kmv import kmv_set_ops

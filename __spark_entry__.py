@@ -806,6 +806,31 @@ def q_sessionization(spark, sf_dir):
     return marked.groupBy("user_id").agg(F.sum("new_s").alias("n_sessions"))
 
 
+def _stage_event_halves(ev, tmp: str) -> str:
+    """Stage an events frame as TWO parquet files under ``tmp/in`` so a
+    ``maxFilesPerTrigger=1`` file stream replays them as two
+    micro-batches (split by event_id parity — deterministic and
+    order-free; merge/fold operations under test are commutative, so
+    batch order cannot matter). Shared by every streaming oracle —
+    ONE place owns the staging contract."""
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(f"{tmp}/in")
+    for name, cond in (("a", F.col("event_id") % 2 == 0), ("b", F.col("event_id") % 2 == 1)):
+        ev.where(cond).coalesce(1).write.parquet(f"{tmp}/stage-{name}")
+        part = glob.glob(f"{tmp}/stage-{name}/part-*.parquet")[0]
+        shutil.move(part, f"{tmp}/in/half-{name}.parquet")
+    return f"{tmp}/in"
+
+
+def _await_or_raise(q, what: str, timeout: int = 300) -> None:
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise RuntimeError(f"{what} streaming replay did not finish within {timeout}s")
+
+
 def q_streaming_incremental(spark, sf_dir):
     """Streaming surface, oracle-backed (round-1 was pytest-only): the
     events table is replayed through a REAL Structured Streaming query
@@ -820,25 +845,11 @@ def q_streaming_incremental(spark, sf_dir):
     from sketchlib.sketches import CountMinSketch, HyperLogLog
     from sketchlib.streaming.incremental import IncrementalSketchBuilder
 
-    import os
-
     ev_path = f"{sf_dir}/events.parquet"
     ev = spark.read.parquet(ev_path)
     schema = ev.schema
     tmp = tempfile.mkdtemp(prefix="stream-oracle-")
-    # the file stream source needs a DIRECTORY; stage the events as TWO
-    # files so maxFilesPerTrigger=1 drives TWO micro-batches — the
-    # state(t+1) = merge(state(t), build(batch)) path is exercised
-    # across batches, not just once (merge is commutative, so batch
-    # order doesn't matter)
-    import glob
-    import shutil
-
-    os.makedirs(f"{tmp}/in")
-    for name, cond in (("a", F.col("event_id") % 2 == 0), ("b", F.col("event_id") % 2 == 1)):
-        ev.where(cond).coalesce(1).write.parquet(f"{tmp}/stage-{name}")
-        part = glob.glob(f"{tmp}/stage-{name}/part-*.parquet")[0]
-        shutil.move(part, f"{tmp}/in/half-{name}.parquet")
+    in_dir = _stage_event_halves(ev, tmp)
     hll_b = IncrementalSketchBuilder(
         lambda: HyperLogLog(14), "user_key", f"{tmp}/hll.bin"
     )
@@ -854,7 +865,7 @@ def q_streaming_incremental(spark, sf_dir):
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)  # one file per micro-batch ⇒ 2 batches
-        .parquet(f"{tmp}/in")
+        .parquet(in_dir)
     )
     q = (
         stream.writeStream.outputMode("update")
@@ -863,9 +874,7 @@ def q_streaming_incremental(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("streaming replay did not finish within 300s")
+    _await_or_raise(q, "incremental")
 
     with open(f"{tmp}/hll.bin", "rb") as fh:
         hll = loads(fh.read())
@@ -954,9 +963,6 @@ def q_streaming_sharded(spark, sf_dir):
     The final table must answer EVERY streamed key; the exact
     distinct-key relation is the oracle (no false negatives ⇔ result
     == oracle rows)."""
-    import glob
-    import os
-    import shutil
     import tempfile
 
     from sketchlib import CuckooConfig
@@ -966,13 +972,9 @@ def q_streaming_sharded(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     schema = ev.schema
     tmp = tempfile.mkdtemp(prefix="stream-shard-")
-    os.makedirs(f"{tmp}/in")
     # two staged files + maxFilesPerTrigger=1 ⇒ two micro-batches, so
     # the per-shard delta merge runs across batches, not just once
-    for name, cond in (("a", F.col("event_id") % 2 == 0), ("b", F.col("event_id") % 2 == 1)):
-        ev.where(cond).coalesce(1).write.parquet(f"{tmp}/stage-{name}")
-        part = glob.glob(f"{tmp}/stage-{name}/part-*.parquet")[0]
-        shutil.move(part, f"{tmp}/in/half-{name}.parquet")
+    in_dir = _stage_event_halves(ev, tmp)
     cfg = CuckooConfig(capacity=65536, fingerprint_bits=16, hash_strategy="xx")
     builder = ShardedStreamBuilder("key", num_shards=8, state_dir=f"{tmp}/state", cfg=cfg)
 
@@ -985,7 +987,7 @@ def q_streaming_sharded(spark, sf_dir):
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{tmp}/in")
+        .parquet(in_dir)
     )
     q = (
         stream.writeStream.outputMode("update")
@@ -994,9 +996,7 @@ def q_streaming_sharded(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("sharded streaming replay did not finish within 300s")
+    _await_or_raise(q, "sharded")
     shards = builder.current_shards(spark).persist()
     keys = ev.select(F.col("user_id").cast("string").alias("key")).distinct()
     return probe_sharded(keys, "key", shards, num_shards=8).where("member").select("key")
@@ -1019,9 +1019,6 @@ def q_streaming_windowed(spark, sf_dir):
     append/update mode, where the 2-hour watermark (already set here)
     evicts closed windows — that eviction is the reason the watermark
     exists."""
-    import glob
-    import os
-    import shutil
     import tempfile
     import uuid
 
@@ -1030,15 +1027,11 @@ def q_streaming_windowed(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     schema = ev.schema
     tmp = tempfile.mkdtemp(prefix="stream-window-")
-    os.makedirs(f"{tmp}/in")
-    for name, cond in (("a", F.col("event_id") % 2 == 0), ("b", F.col("event_id") % 2 == 1)):
-        ev.where(cond).coalesce(1).write.parquet(f"{tmp}/stage-{name}")
-        part = glob.glob(f"{tmp}/stage-{name}/part-*.parquet")[0]
-        shutil.move(part, f"{tmp}/in/half-{name}.parquet")
+    in_dir = _stage_event_halves(ev, tmp)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{tmp}/in")
+        .parquet(in_dir)
         # watermarks require TIMESTAMP (the parquet column is NTZ); the
         # session-tz cast preserves wall-clock, so window starts align
         # with the exact side's NTZ date_trunc strings
@@ -1056,9 +1049,7 @@ def q_streaming_windowed(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("windowed streaming replay did not finish within 300s")
+    _await_or_raise(q, "windowed")
     est = spark.table(sink).select(
         F.col("window.start").cast("string").alias("hour_start"), "approx_distinct"
     )
@@ -1529,8 +1520,9 @@ def q_source_similarity(spark, sf_dir):
             F.expr("regexp_extract_all(coalesce(text,''), '\\\\S+', 0)")
         ).alias("token"),
     )
+    K = 1024  # one knob: sketch size AND the 4/√(K−2) gate below
     grouped = build_grouped_sketches(
-        toks, "source", "token", lambda: KMVSketch(k=1024)
+        toks, "source", "token", lambda: KMVSketch(k=K)
     )
     sketches = {r.group_key: loads(r.state) for r in grouped.collect()}
     tok = toks.distinct()
@@ -1556,7 +1548,7 @@ def q_source_similarity(spark, sf_dir):
             "source_b",
         )
     )
-    tol = 4 * KMVSketch(k=1024).std_error()
+    tol = 4 * next(iter(sketches.values())).std_error() if sketches else 0.0
     out = []
     for r in res.collect():
         _, _, j_est = kmv_set_ops(sketches[r.source_a], sketches[r.source_b])

@@ -45,7 +45,7 @@ def main() -> None:
     ap.add_argument("--fingerprint-bits", type=int, default=16)
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession, functions as F
+    from pyspark.sql import Observation, SparkSession, functions as F
 
     spark = SparkSession.builder.appName("sketchlib-warc-ingest").getOrCreate()
 
@@ -55,7 +55,11 @@ def main() -> None:
     from sketchlib.spark.warc import read_warc
 
     t0 = time.time()
-    pages = read_warc(spark, args.input)
+    # observe() piggybacks the page count on the corpus-write job — a
+    # separate pages.count() would re-parse every archive end-to-end
+    # (decompress + record parse + text extraction) just for a metric
+    obs = Observation("pages_in")
+    pages = read_warc(spark, args.input).observe(obs, F.count(F.lit(1)).alias("n"))
     # ONE shuffle end-to-end: scrub/tokens are scan-side projections;
     # min(struct) picks the winner per text digest with its metadata
     # attached, so no winners->corpus join-back (q_corpus_prepare shape)
@@ -74,9 +78,9 @@ def main() -> None:
         .where(F.col("n_tokens") >= args.min_tokens)
         .withColumn("split", hash_split("url"))
     )
-    corpus.write.mode("overwrite").parquet(os.path.join(args.output, "corpus"))
-    kept = spark.read.parquet(os.path.join(args.output, "corpus"))
-    n_pages = pages.count()
+    corpus.write.mode("overwrite").parquet(f"{args.output}/corpus")
+    n_pages = int(obs.get["n"])
+    kept = spark.read.parquet(f"{args.output}/corpus")
     n_kept = kept.count()
 
     cfg = CuckooConfig(
@@ -84,22 +88,54 @@ def main() -> None:
         fingerprint_bits=args.fingerprint_bits,
         hash_strategy="xx",
     )
-    shard_df = build_sharded(kept.select("url"), "url", args.shards, cfg=cfg)
-    shard_df.write.mode("overwrite").parquet(os.path.join(args.output, "shards"))
+    # distinct(): recrawl corpora keep one doc per TEXT but can keep the
+    # same url with differing text — duplicate url inserts would eat
+    # fingerprint slots against the 1.1x sizing and overfill shards
+    urls = kept.select("url").distinct()
+    shard_df = build_sharded(urls, "url", args.shards, cfg=cfg)
+    shard_df.write.mode("overwrite").parquet(f"{args.output}/shards")
+    fails = (
+        spark.read.parquet(f"{args.output}/shards")
+        .agg(F.sum("fail_count").alias("f"))
+        .first()
+        .f
+        or 0
+    )
     total_sec = time.time() - t0
 
     metrics = {
         "pages_in": n_pages,
         "docs_kept": n_kept,
         "dedup_and_quality_drop": n_pages - n_kept,
+        "cuckoo_insert_failures": int(fails),
         "total_sec": round(total_sec, 2),
         "pages_per_sec": round(n_pages / total_sec) if total_sec else None,
         "shards": args.shards,
     }
-    with open(os.path.join(args.output, "metrics.json"), "w") as fh:
-        json.dump(metrics, fh, indent=2)
+    _write_text(
+        spark, f"{args.output}/metrics.json", json.dumps(metrics, indent=2)
+    )
     print("WARC_INGEST_RESULT " + json.dumps(metrics))
+    if fails:
+        # a filter that dropped inserts answers false for present urls —
+        # fail the job loudly instead of shipping a broken index
+        raise SystemExit(f"cuckoo insert failures: {fails} (resize --shards/capacity)")
     spark.stop()
+
+
+def _write_text(spark, path: str, data: str) -> None:
+    """Small-file write through the session's Hadoop FileSystem, so
+    hdfs:///s3a:// --output URIs work — builtin open() only speaks the
+    driver's local disk."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(data.encode()))
+    finally:
+        out.close()
 
 
 if __name__ == "__main__":

@@ -28,42 +28,37 @@ def _iceberg_jar_present() -> bool:
     not _iceberg_jar_present(),
     reason="iceberg-spark-runtime jars not on the classpath in this sandbox",
 )
-def test_iceberg_write_read_snapshot_roundtrip(tmp_path):
+def test_iceberg_write_read_snapshot_roundtrip(spark, tmp_path):
     """write_pages → read_pages equality, then append and verify a
     snapshot-id-pinned read still returns the FIRST snapshot's rows —
     the property the checkpoint/resume path relies on (re-reading the
-    same snapshot keeps per-partition lineage valid)."""
-    from pyspark.sql import SparkSession
+    same snapshot keeps per-partition lineage valid).
 
+    Uses the SHARED session fixture — catalog confs are runtime-
+    settable (catalogs resolve lazily on first use). A private
+    getOrCreate().stop() here would grab and kill the session-scoped
+    fixture and break every later Spark test."""
     from sketchlib.datagen import generate_documents
     from sketchlib.spark.sources import read_pages, write_pages
 
-    spark = (
-        SparkSession.builder.master("local[2]")
-        .appName("iceberg-roundtrip")
-        .config(
-            "spark.sql.catalog.local", "org.apache.iceberg.spark.SparkCatalog"
-        )
-        .config("spark.sql.catalog.local.type", "hadoop")
-        .config("spark.sql.catalog.local.warehouse", str(tmp_path / "wh"))
-        .getOrCreate()
+    spark.conf.set(
+        "spark.sql.catalog.local", "org.apache.iceberg.spark.SparkCatalog"
     )
-    try:
-        pdf = generate_documents(50, seed=17).to_pandas()
-        df = spark.createDataFrame(pdf)
-        write_pages(df, "local.db.pages", fmt="iceberg")
-        back = read_pages(spark, "local.db.pages", fmt="iceberg")
-        assert back.count() == 50
-        assert {r.url for r in back.select("url").collect()} == set(pdf.url)
-        snap0 = (
-            spark.sql("SELECT snapshot_id FROM local.db.pages.snapshots "
-                      "ORDER BY committed_at DESC LIMIT 1").first()[0]
-        )
-        df.writeTo("local.db.pages").append()
-        assert read_pages(spark, "local.db.pages", fmt="iceberg").count() == 100
-        pinned = read_pages(
-            spark, "local.db.pages", fmt="iceberg", snapshot_id=int(snap0)
-        )
-        assert pinned.count() == 50  # the pin sees the pre-append world
-    finally:
-        spark.stop()
+    spark.conf.set("spark.sql.catalog.local.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.local.warehouse", str(tmp_path / "wh"))
+    pdf = generate_documents(50, seed=17).to_pandas()
+    df = spark.createDataFrame(pdf)
+    write_pages(df, "local.db.pages", fmt="iceberg")
+    back = read_pages(spark, "local.db.pages", fmt="iceberg")
+    assert back.count() == 50
+    assert {r.url for r in back.select("url").collect()} == set(pdf.url)
+    snap0 = (
+        spark.sql("SELECT snapshot_id FROM local.db.pages.snapshots "
+                  "ORDER BY committed_at DESC LIMIT 1").first()[0]
+    )
+    df.writeTo("local.db.pages").append()
+    assert read_pages(spark, "local.db.pages", fmt="iceberg").count() == 100
+    pinned = read_pages(
+        spark, "local.db.pages", fmt="iceberg", snapshot_id=int(snap0)
+    )
+    assert pinned.count() == 50  # the pin sees the pre-append world

@@ -71,9 +71,6 @@ def test_spark_submit_warc_ingest_job(tmp_path):
     (one plain, one gzip, one with an injected exact-duplicate page) →
     streaming parse → scrub/dedup/quality/split corpus + sharded
     membership table, submitted via --py-files from a clean cwd."""
-    import sys as _sys
-
-    _sys.path.insert(0, REPO)
     from sketchlib.datagen import warc_bytes, write_warc
 
     n = 40

@@ -216,3 +216,50 @@ def test_kmv_split_merge_equals_single_random(data):
     a.merge(b)
     assert a.to_bytes() == whole.to_bytes()
     assert a.estimate() == whole.estimate()
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    a_keys=st.sets(st.integers(0, 5000), min_size=1, max_size=400),
+    b_keys=st.sets(st.integers(0, 5000), min_size=1, max_size=400),
+)
+def test_kmv_set_ops_tracks_exact_on_random_sets(a_keys, b_keys):
+    """Union/intersection/Jaccard estimates from two KMV sketches stay
+    within the published 4/sqrt(k-2)-scale envelope for arbitrary
+    overlapping integer sets (k chosen >= |universe| so the sketches
+    are mostly exact; the estimator must degrade gracefully, never
+    wildly)."""
+    from sketchlib.sketches import KMVSketch
+    from sketchlib.sketches.kmv import kmv_set_ops
+
+    a, b = KMVSketch(k=512), KMVSketch(k=512)
+    a.update([f"v{i}" for i in sorted(a_keys)])
+    b.update([f"v{i}" for i in sorted(b_keys)])
+    u, inter, j = kmv_set_ops(a, b)
+    eu = len(a_keys | b_keys)
+    ei = len(a_keys & b_keys)
+    tol = 4 * a.std_error()
+    assert abs(u - eu) <= tol * eu + 1
+    assert abs(inter - ei) <= tol * eu + 1
+    assert abs(j - ei / eu) <= tol + 1e-9
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    n=st.integers(10, 300),
+    k=st.integers(1, 50),
+    parts=st.integers(1, 7),
+)
+def test_hash_sample_partition_invariance_random(spark, n, k, parts):
+    """Bottom-k-by-md5 returns the IDENTICAL ordered sample under any
+    repartitioning and any k <= n (nested property) — the determinism
+    contract the oracle comparison relies on."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.sampling import hash_sample
+
+    df = spark.range(n).select(F.col("id").alias("doc_id"))
+    base = [r.doc_id for r in hash_sample(df, k).collect()]
+    re = [r.doc_id for r in hash_sample(df.repartition(parts), k).collect()]
+    assert base == re
+    assert len(base) == min(k, n)

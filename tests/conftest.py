@@ -19,6 +19,17 @@ os.environ["PYTHONPATH"] = os.pathsep.join(
     p for p in (_REPO_DIR, _TESTS_DIR, os.environ.get("PYTHONPATH")) if p
 )
 
+# Deterministic hypothesis runs: the CI gate must not flake on a fresh
+# random example — new counterexamples are found by widening the pinned
+# regression suite, not by per-run randomness (round-3 verdict).
+try:
+    from hypothesis import settings as _hyp_settings
+
+    _hyp_settings.register_profile("ci", derandomize=True)
+    _hyp_settings.load_profile("ci")
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
+
 SF0001 = "/root/testdata/sf0.001"
 SF001 = "/root/testdata/sf0.01"
 

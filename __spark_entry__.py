@@ -1143,7 +1143,7 @@ def q_ngram_jaccard(spark, sf_dir):
     from sketchlib.spark.dedup import ngram_jaccard_pairs
 
     d = _docs_with_dups(spark, sf_dir)
-    out = ngram_jaccard_pairs(d, n=3, threshold=0.8)
+    out = ngram_jaccard_pairs(d, n=3, threshold=0.8, max_gram_df=10_000)
     return out.select("id_a", "id_b", "inter", "na", "nb")
 
 
@@ -2232,9 +2232,13 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": (
             f"{DERIVED_DOCS_CTE}, words AS ("
             "SELECT doc_id, string_split(text, ' ') AS w FROM derived), "
-            "grams AS (SELECT DISTINCT doc_id, gram FROM ("
+            "grams0 AS (SELECT DISTINCT doc_id, gram FROM ("
             "SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 2)), "
             "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS gram FROM words)), "
+            # mirror of max_gram_df=10000 in ngram_jaccard_pairs: hot grams
+            # leave the gram universe before sizes AND the self-join
+            "grams AS (SELECT doc_id, gram FROM grams0 WHERE gram IN ("
+            "SELECT gram FROM grams0 GROUP BY gram HAVING COUNT(*) <= 10000)), "
             "sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id), "
             "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter "
             "FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id "

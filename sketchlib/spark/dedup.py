@@ -171,6 +171,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.8,
     seed: int = 42,
     repartition: int | None = None,
+    max_band_df: int | None = 100_000,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, verified by signature
     Jaccard ≥ threshold. Returns (id_a, id_b, jaccard_sim), id_a < id_b.
@@ -182,6 +183,18 @@ def minhash_dedup_pairs(
     follows. Self-join per band bucket (shuffle on band hash — uniform
     by construction), dedupe pairs, verify with one array comparison.
     No n² anywhere.
+
+    ``max_band_df`` caps the quadratic blowup inside one band bucket: a
+    web corpus has boilerplate (empty pages, error templates) whose
+    thousands of byte-identical texts share EVERY band key, turning one
+    bucket into an O(k²) pair generator even though ``dedup_exact``
+    should have removed them first. Band keys hit by more than this many
+    docs are dropped before the self-join (one map-side-combined count
+    over the ~16 B band rows + a broadcast anti-join of the hot keys —
+    the hot-key set is ≤ n/cap rows by construction). Docs paired ONLY
+    through a dropped bucket are missed, which is the standard LSH
+    df-cap tradeoff; genuine near-dups agree on many bands. ``None``
+    disables the cap.
 
     ``repartition``: signature hashing is CPU-bound in the Arrow UDF,
     so parallelism = input partition count; a union-of-filters input
@@ -216,6 +229,14 @@ def minhash_dedup_pairs(
     # you'd write signatures to a table here instead)
     sigs = sigs.persist()
     banded = sigs.select(id_col, F.explode(band_keys("minhash")).alias("band"))
+    if max_band_df is not None:
+        hot = (
+            banded.groupBy("band")
+            .agg(F.count("*").alias("band_df"))
+            .where(F.col("band_df") > max_band_df)
+            .select("band")
+        )
+        banded = banded.join(F.broadcast(hot), "band", "left_anti")
     left = banded.alias("a")
     right = banded.alias("b")
     cand = (
@@ -489,12 +510,22 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    max_gram_df: int | None = 10_000,
 ) -> DataFrame:
     """Exact n-gram (word) Jaccard for candidate pairs sharing ≥1 gram.
 
     Pure DataFrame expression: explode distinct grams, join on gram,
     count intersections, |A∪B| = |A|+|B|−|A∩B|. Exact but O(pairs
     sharing a gram) — use on candidate subsets, not the full corpus.
+
+    ``max_gram_df`` bounds the gram self-join at Σ df(gram)² ≤ Σ df·cap
+    = O(rows·cap): a boilerplate 3-gram shared by 10^6 docs would
+    otherwise make a 10^12-pair bucket. Grams in more than this many
+    docs are removed from the gram UNIVERSE (both the intersection join
+    and the per-doc sizes), i.e. Jaccard is computed exactly over the
+    sub-cap gram space — a gram that common carries no dedup signal.
+    One extra map-side-combined groupBy + broadcast anti-join (hot-gram
+    set ≤ rows/cap). ``None`` disables the cap.
 
     Returns (id_a, id_b, inter, na, nb, jaccard) with id_a < id_b;
     the integer columns make the result exactly comparable across
@@ -520,6 +551,14 @@ def ngram_jaccard_pairs(
             ).alias("gram"),
         )
     )
+    if max_gram_df is not None:
+        hot = (
+            grams.groupBy("gram")
+            .agg(F.count("*").alias("gram_df"))
+            .where(F.col("gram_df") > max_gram_df)
+            .select("gram")
+        )
+        grams = grams.join(F.broadcast(hot), "gram", "left_anti")
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     a = grams.alias("a")
     b = grams.alias("b")

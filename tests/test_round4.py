@@ -1,0 +1,119 @@
+"""Round-4 additions: document-frequency caps on the bucketed dedup
+joins (VERDICT r3 "What's wrong" #2).  A web corpus has boilerplate —
+thousands of byte-identical or near-identical texts that share every
+LSH band key / every n-gram — and an uncapped bucket self-join is
+O(k²) inside that bucket.  The cap must (a) keep the join O(n·cap) on
+a pathological all-identical corpus and (b) not disturb genuine
+near-dup signal whose buckets are below the cap."""
+
+from __future__ import annotations
+
+import pytest
+
+
+N_IDENTICAL = 10_000
+BOILER = "the quick brown fox jumps over the lazy dog again and again today"
+
+
+@pytest.fixture(scope="module")
+def identical_docs(spark):
+    """10k byte-identical docs — every band key / gram has df = 10k."""
+    return spark.range(N_IDENTICAL).selectExpr(
+        "id AS doc_id", f"'{BOILER}' AS text"
+    )
+
+
+def test_minhash_band_cap_bounds_identical_corpus(spark, identical_docs):
+    """With the cap, 10k identical docs produce ZERO candidate pairs
+    (every band bucket has df 10k > cap, so each is dropped before the
+    self-join) instead of ~50M — the run completes in seconds because
+    nothing quadratic ever materializes."""
+    from sketchlib.spark.dedup import minhash_dedup_pairs
+
+    out = minhash_dedup_pairs(
+        identical_docs, num_perm=64, bands=16, threshold=1.0, max_band_df=50
+    )
+    assert out.count() == 0
+
+
+def test_minhash_band_cap_preserves_subcap_signal(spark):
+    """A 200-doc identical boilerplate cluster (hot, dropped) coexists
+    with one genuine identical pair of a DIFFERENT text (df=2 buckets,
+    kept): the cap removes the hot cluster's pairs but the real pair
+    survives."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.dedup import minhash_dedup_pairs
+
+    boiler = spark.range(200).selectExpr("id AS doc_id", f"'{BOILER}' AS text")
+    pair_text = "completely different sentence with enough words to shingle properly here"
+    pair = spark.createDataFrame(
+        [(10_001, pair_text), (10_002, pair_text)], "doc_id long, text string"
+    )
+    out = minhash_dedup_pairs(
+        boiler.unionByName(pair),
+        num_perm=64,
+        bands=16,
+        threshold=1.0,
+        max_band_df=50,
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(10_001, 10_002)}
+    assert out[0].jaccard_sim == 1.0
+
+
+def test_minhash_cap_disabled_matches_uncapped(spark):
+    """max_band_df=None keeps the historical exhaustive behavior on a
+    small corpus: all C(n,2) identical pairs come back."""
+    from sketchlib.spark.dedup import minhash_dedup_pairs
+
+    n = 40
+    docs = spark.range(n).selectExpr("id AS doc_id", f"'{BOILER}' AS text")
+    out = minhash_dedup_pairs(
+        docs, num_perm=64, bands=16, threshold=1.0, max_band_df=None
+    )
+    assert out.count() == n * (n - 1) // 2
+
+
+def test_ngram_cap_bounds_identical_corpus(spark, identical_docs):
+    """All grams of the 10k-identical corpus are hot → removed from the
+    gram universe → no pairs, no quadratic join."""
+    from sketchlib.spark.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(identical_docs, n=3, threshold=0.1, max_gram_df=100)
+    assert out.count() == 0
+
+
+def test_ngram_cap_excludes_hot_gram_from_universe(spark):
+    """A boilerplate gram shared by 300 docs is dropped from BOTH the
+    intersection join and the per-doc sizes (na/nb): Jaccard is exact
+    over the sub-cap gram space, so a genuine near-dup pair that also
+    carries the boilerplate still scores on its unique grams only."""
+    from sketchlib.spark.dedup import ngram_jaccard_pairs
+
+    hot = "copyright footer text"  # one 3-gram, shared by every doc
+    uniq = "alpha beta gamma delta"  # grams: 'alpha beta gamma', 'beta gamma delta'
+    rows = [(i, f"filler{i} " + hot) for i in range(300)]
+    rows += [(1000, f"{uniq} {hot}"), (1001, f"{uniq} {hot}")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = ngram_jaccard_pairs(df, n=3, threshold=0.5, max_gram_df=50).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(1000, 1001)}
+    (r,) = out
+    # doc 1000/1001 grams: 'alpha beta gamma', 'beta gamma delta',
+    # 'gamma delta copyright', 'delta copyright footer' (df=2 each, kept)
+    # + 'copyright footer text' (df=302 > 50, dropped from na/nb/inter)
+    assert (r.inter, r.na, r.nb) == (4, 4, 4)
+    assert r.jaccard == 1.0
+
+
+def test_ngram_cap_disabled_counts_hot_gram(spark):
+    """Sanity inverse of the above: with the cap off, the boilerplate
+    gram participates and na/nb/inter include it."""
+    from sketchlib.spark.dedup import ngram_jaccard_pairs
+
+    hot = "copyright footer text"
+    uniq = "alpha beta gamma delta"
+    rows = [(1000, f"{uniq} {hot}"), (1001, f"{uniq} {hot}")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    (r,) = ngram_jaccard_pairs(df, n=3, threshold=0.5, max_gram_df=None).collect()
+    assert (r.inter, r.na, r.nb) == (5, 5, 5)

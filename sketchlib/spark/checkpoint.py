@@ -17,6 +17,28 @@ import json
 import os
 import time
 
+from pyspark.sql import DataFrame
+
+
+def materialize(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
+    """Eagerly materialize an intermediate result, truncating lineage.
+
+    ``checkpoint_dir=None`` → ``localCheckpoint(eager=True)``: blocks
+    live in executor storage — fast (no FS round-trip), but on a real
+    cluster an executor loss AFTER this point is unrecoverable
+    mid-query (the truncated lineage cannot recompute lost blocks).
+    Right default for single-box runs and short-lived intermediates.
+
+    ``checkpoint_dir=<path>`` → reliable ``checkpoint(eager=True)`` to
+    that (HDFS / object-store) directory: survives executor loss at the
+    cost of one distributed write + read. Pass this on long multi-stage
+    cluster jobs where re-running the upstream stages is expensive.
+    """
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=True)
+    df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=True)
+
 
 def lineage_manifest(checkpoint_dir: str) -> dict:
     path = os.path.join(checkpoint_dir, "_lineage.json")

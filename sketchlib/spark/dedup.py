@@ -15,6 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..hashing import kernels
+from .checkpoint import materialize
 
 U64 = np.uint64
 
@@ -172,6 +173,7 @@ def minhash_dedup_pairs(
     seed: int = 42,
     repartition: int | None = None,
     max_band_df: int | None = 100_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, verified by signature
     Jaccard ≥ threshold. Returns (id_a, id_b, jaccard_sim), id_a < id_b.
@@ -263,8 +265,9 @@ def minhash_dedup_pairs(
         .select("id_a", "id_b", "jaccard_sim")
     )
     # materialize the (pair-scale) result so the signature cache can be
-    # released now instead of leaking for the session's lifetime
-    out = verified.localCheckpoint(eager=True)
+    # released now instead of leaking for the session's lifetime;
+    # checkpoint_dir opts into an executor-loss-safe reliable checkpoint
+    out = materialize(verified, checkpoint_dir)
     sigs.unpersist()
     return out
 
@@ -308,6 +311,7 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     n_blocks: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance ≤ max_hamming via
     Manku-style multi-block pigeonholing (Manku, Jain & Das Sarma,
@@ -336,7 +340,11 @@ def simhash_near_dup_pairs(
         # finally runs; try/finally so a validation error cannot leak
         # the persist registration
         return simhash_candidate_pairs(
-            sh, id_col=id_col, max_hamming=max_hamming, n_blocks=n_blocks
+            sh,
+            id_col=id_col,
+            max_hamming=max_hamming,
+            n_blocks=n_blocks,
+            checkpoint_dir=checkpoint_dir,
         )
     finally:
         sh.unpersist()
@@ -348,6 +356,7 @@ def simhash_candidate_pairs(
     sig_col: str = "simhash",
     max_hamming: int = 3,
     n_blocks: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """The Manku combination join over a precomputed (id, signature)
     frame — split out so the blocking layer is testable on crafted
@@ -401,7 +410,7 @@ def simhash_candidate_pairs(
     )
     # materialize pair-scale candidates eagerly so a caller-persisted
     # signature frame can be released as soon as this returns
-    out = cand.localCheckpoint(eager=True)
+    out = materialize(cand, checkpoint_dir)
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         out.withColumn("hamming", ham)
@@ -420,6 +429,7 @@ def connected_components(
     pair_a: str = "id_a",
     pair_b: str = "id_b",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, component) labels for duplicate-cluster resolution:
     component = min id reachable through the (undirected) pair edges.
@@ -445,7 +455,7 @@ def connected_components(
         .persist()
     )
     labels = vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = materialize(labels, checkpoint_dir)
     converged = False
     for _ in range(max_iter):
         prop = (
@@ -464,10 +474,11 @@ def connected_components(
             F.col("id").alias("component"), F.col("component").alias("cc")
         )
         prev = labels
-        labels = (
-            stepped.join(lut, "component", "left")
-            .select("id", F.least("component", F.coalesce("cc", "component")).alias("component"))
-            .localCheckpoint(eager=True)
+        labels = materialize(
+            stepped.join(lut, "component", "left").select(
+                "id", F.least("component", F.coalesce("cc", "component")).alias("component")
+            ),
+            checkpoint_dir,
         )
         changed = (
             labels.alias("n")
@@ -492,11 +503,14 @@ def dedup_canonical(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Keep exactly one doc per duplicate cluster (the min-id
     representative) — the end product of a near-dup pipeline: LSH
     pairs → components → canonical set."""
-    comp = connected_components(pairs, df.select(id_col), id_col, max_iter=max_iter)
+    comp = connected_components(
+        pairs, df.select(id_col), id_col, max_iter=max_iter, checkpoint_dir=checkpoint_dir
+    )
     keep = comp.where(F.col(id_col) == F.col("component")).select(id_col)
     return df.join(keep, id_col, "left_semi")
 

@@ -13,6 +13,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from .checkpoint import materialize
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
@@ -288,6 +290,7 @@ def _lsh_candidate_pairs(
     bands: int,
     bits_per_band: int,
     seed: int,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Undirected candidate pairs (id_a < id_b) from the union of
     per-band bucket self-joins — the MinHash-LSH banding shape applied
@@ -315,8 +318,9 @@ def _lsh_candidate_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     # materialize the (small) pair list so the banded frame's cache can
-    # be released immediately instead of leaking for the session
-    pairs = pairs.localCheckpoint(eager=True)
+    # be released immediately instead of leaking for the session;
+    # checkpoint_dir opts into the executor-loss-safe reliable path
+    pairs = materialize(pairs, checkpoint_dir)
     banded.unpersist()
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
@@ -408,6 +412,7 @@ def pairwise_cosine_knn(
     bands: int = 12,
     bits_per_band: int = 6,
     seed: int = 42,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """All-pairs kNN over banded-LSH candidates: union of per-band
     bucket joins (multi-band amplification — recall 1-(1-p^b)^B),
@@ -420,7 +425,9 @@ def pairwise_cosine_knn(
     cosine_topk_bruteforce / IVF for exhaustive kNN there."""
     from pyspark.sql.window import Window
 
-    und = _lsh_candidate_pairs(df, vec_col, id_col, bands, bits_per_band, seed)
+    und = _lsh_candidate_pairs(
+        df, vec_col, id_col, bands, bits_per_band, seed, checkpoint_dir
+    )
     directed = und.unionByName(
         und.select(
             F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "cosine_sim"
@@ -440,6 +447,7 @@ def embedding_near_dup_pairs(
     bands: int = 12,
     bits_per_band: int = 6,
     seed: int = 42,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the LLM-pipeline dedup
     use case): banded-LSH candidates + exact cosine filter. At
@@ -447,6 +455,6 @@ def embedding_near_dup_pairs(
     near-dup survives all 12 bands missing with prob (1-0.9^6)^12
     ≈ 2e-4 — while isotropic pairs (p ≈ 0.5) enter candidacy only
     ~1.6% per band. Returns (id_a, id_b, cosine_sim), id_a < id_b."""
-    return _lsh_candidate_pairs(df, vec_col, id_col, bands, bits_per_band, seed).where(
-        F.col("cosine_sim") >= sim_threshold
-    )
+    return _lsh_candidate_pairs(
+        df, vec_col, id_col, bands, bits_per_band, seed, checkpoint_dir
+    ).where(F.col("cosine_sim") >= sim_threshold)

@@ -106,6 +106,61 @@ def test_ngram_cap_excludes_hot_gram_from_universe(spark):
     assert r.jaccard == 1.0
 
 
+def test_reliable_checkpoint_dir_path(spark, tmp_path):
+    """checkpoint_dir opts the dedup/CC materialization points into
+    reliable (filesystem) checkpoints instead of localCheckpoint, so a
+    cluster run survives executor loss mid-query. Results must be
+    identical and checkpoint files must actually land in the dir."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.dedup import (
+        connected_components,
+        minhash_dedup_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, "totally different words " * 3)],
+        "doc_id long, text string",
+    )
+    pairs = minhash_dedup_pairs(
+        docs, num_perm=64, bands=16, threshold=1.0, checkpoint_dir=ckpt
+    )
+    assert {(r.id_a, r.id_b) for r in pairs.collect()} == {(1, 2)}
+
+    sim = simhash_near_dup_pairs(docs, max_hamming=0, checkpoint_dir=ckpt)
+    assert {(r.id_a, r.id_b) for r in sim.collect()} == {(1, 2)}
+
+    comp = connected_components(
+        pairs.select("id_a", "id_b"),
+        docs.select("doc_id"),
+        checkpoint_dir=ckpt,
+    )
+    got = {(r.doc_id, r.component) for r in comp.collect()}
+    assert got == {(1, 1), (2, 1), (3, 3)}
+
+    import os
+
+    # reliable checkpoints write rdd-* dirs under the checkpoint root
+    found = []
+    for root, dirs, _files in os.walk(ckpt):
+        found += [d for d in dirs if d.startswith("rdd-")]
+    assert found, "no reliable checkpoint data written under checkpoint_dir"
+
+
+def test_lsh_candidate_pairs_checkpoint_dir(spark, tmp_path):
+    from sketchlib.spark.similarity import embedding_near_dup_pairs
+
+    ckpt = str(tmp_path / "ckpt_lsh")
+    v = [1.0, 0.0, 0.5, 0.2]
+    rows = [(1, v), (2, v), (3, [-1.0, 0.3, -0.5, 0.1])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = embedding_near_dup_pairs(df, sim_threshold=0.9, checkpoint_dir=ckpt)
+    assert {(r.id_a, r.id_b) for r in out.collect()} == {(1, 2)}
+
+
 def test_ngram_cap_disabled_counts_hot_gram(spark):
     """Sanity inverse of the above: with the cap off, the boilerplate
     gram participates and na/nb/inter include it."""

@@ -261,10 +261,20 @@ class ShardedProbeIndex:
 
     @classmethod
     def from_shards(cls, shard_df: DataFrame) -> "ShardedProbeIndex":
-        blobs = {
-            int(r.shard_id): bytes(r.state)
-            for r in shard_df.select("shard_id", "state").collect()
-        }
+        rows = shard_df.select("shard_id", "state").collect()
+        blobs: dict[int, bytes] = {}
+        for r in rows:
+            sid = int(r.shard_id)
+            if sid in blobs:
+                # a well-formed shard table has exactly one row per
+                # shard; silently keeping one of the duplicates (a
+                # unioned/unmerged table) would probe against partial
+                # state — false negatives with no error
+                raise ValueError(
+                    f"shard {sid} has duplicate state rows; merge duplicate "
+                    "shard rows (merge_sharded) before probing"
+                )
+            blobs[sid] = bytes(r.state)
         return cls(shard_df.sparkSession, blobs)
 
     def destroy(self) -> None:
@@ -359,6 +369,15 @@ def probe_sharded(
         if state_pdf.empty:
             out["member"] = False  # empty shard: key was never inserted
             return out
+        if len(state_pdf) > 1:
+            # mirror delete_sharded's loud guard: probing only the first
+            # of several duplicate state rows (unioned/unmerged shard
+            # tables) returns silent false negatives
+            raise ValueError(
+                f"shard {int(state_pdf['shard_id'].iloc[0])} has "
+                f"{len(state_pdf)} state rows; merge duplicate shard rows "
+                "(merge_sharded) before probing"
+            )
         f = loads(state_pdf["state"].iloc[0])
         fn = getattr(f, "lookup_batch", None) or f.contains
         out["member"] = np.asarray(fn(probe_pdf[key_col]), bool)

@@ -11,9 +11,12 @@ text, lang)`` with no external library:
   gzip is decompressed incrementally (``gzip.GzipFile`` over the
   stream), so a 1 GB .warc.gz that inflates to ~4-5 GB never sits in
   memory. Peak per-task memory ≈
-  ``chunk_size + max_record_bytes (one in-flight record, CC caps
-  payloads ~1 MB) + records_per_batch × avg_record`` (the pending
-  Arrow output batch) — tens of MB, independent of archive size;
+  ``chunk_size + max_record_bytes + records_per_batch × avg_record``
+  (one in-flight record plus the pending Arrow output batch) —
+  independent of ARCHIVE size, and the worst single record is capped
+  by ``max_record_bytes`` (default 64 MiB: real CC payloads are
+  ~1 MB, so a Content-Length near the cap is hostile/corrupt and the
+  record is skipped, costing at most the cap in transient buffer);
 * a streaming record parser (``iter_warc_stream``) that resyncs to
   the next ``WARC/`` marker on corrupt regions — including a corrupt
   or hostile Content-Length mid-archive, which skips ONLY the bad
@@ -44,7 +47,11 @@ PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang st
 _CRLF2 = b"\r\n\r\n"
 _MARKER = b"WARC/"
 _MAX_HEADER_BYTES = 1 << 20  # a header block larger than 1 MiB is corrupt
-DEFAULT_MAX_RECORD_BYTES = 1 << 30  # corrupt/hostile Content-Length guard
+# Corrupt/hostile Content-Length guard AND the per-task transient-buffer
+# bound: one record buffers at most this many bytes. Common-Crawl caps
+# payloads around 1 MB, so 64 MiB passes any plausible record while a
+# near-cap header can no longer force ~1 GiB resident per task.
+DEFAULT_MAX_RECORD_BYTES = 64 << 20
 
 
 _VERSION_RE = None  # compiled lazily (module import stays re-free for executors)
@@ -182,7 +189,14 @@ def open_archive_stream(path: str, opener=None):
     """Binary stream for one archive path (as produced by Spark file
     listings, e.g. ``file:/data/x.warc.gz``), transparently layered
     with incremental gzip decompression when the magic bytes match.
-    ``opener``: ``path -> binary file object`` for non-local schemes."""
+
+    ``opener``: ``path -> OPENED binary file object`` for non-local
+    schemes — e.g. ``lambda p: fsspec.open(p, "rb").open()`` (note the
+    trailing ``.open()``: ``fsspec.open`` itself returns an ``OpenFile``
+    descriptor, not a readable stream). The stream does NOT need to be
+    seekable: the gzip magic is sniffed with ``peek`` through a
+    ``BufferedReader`` wrapper, never ``seek`` — object-store streams
+    are frequently forward-only."""
     if opener is None:
         local = path
         if local.startswith("file:"):
@@ -192,8 +206,9 @@ def open_archive_stream(path: str, opener=None):
         raw = open(local, "rb")  # noqa: SIM115 — caller-managed stream
     else:
         raw = opener(path)
-    head = raw.read(2)
-    raw.seek(0)
+    if not hasattr(raw, "peek"):
+        raw = io.BufferedReader(raw)
+    head = raw.peek(2)[:2]
     if head == b"\x1f\x8b":
         return gzip.GzipFile(fileobj=raw)
     return raw
@@ -259,16 +274,19 @@ def read_warc(
     # binaryFile prunes unrequested columns: selecting only `path` is a
     # listing, not a read (the count below is a metadata-only job, paid
     # once at plan-construction). EXACTLY one task per archive: a
-    # row_number over the (metadata-scale) path list range-partitioned
-    # into n_files partitions — hash-partitioning paths would put 2-3
-    # archives on some tasks and none on ~1/e of them (balls in bins),
-    # making wall-clock 2-3× the slowest archive instead of 1×.
-    from pyspark.sql.window import Window
-
+    # contiguous 0..n-1 index range-partitioned into n_files partitions
+    # — hash-partitioning paths would put 2-3 archives on some tasks
+    # and none on ~1/e of them (balls in bins), making wall-clock 2-3×
+    # the slowest archive instead of 1×. The index comes from
+    # zipWithIndex (per-partition counts in one parallel pass + offset
+    # arithmetic), NOT row_number over a global Window — an unpartitioned
+    # window funnels all 10^7 paths through ONE sort task.
     files = spark.read.format("binaryFile").load(path).select("path")
     n_files = max(files.count(), 1)
-    indexed = files.withColumn(
-        "_i", F.row_number().over(Window.orderBy("path"))
+    indexed = (
+        files.rdd.map(lambda r: r.path)
+        .zipWithIndex()
+        .toDF(["path", "_i"])
     )
     return (
         indexed.repartitionByRange(n_files, "_i")

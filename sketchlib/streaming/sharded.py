@@ -92,6 +92,13 @@ class ShardedStreamBuilder:
                         )
                         if fs.exists(ok) and (best is None or eid > best):
                             best = eid
+            if best is not None:
+                # heal the pointer file now: otherwise EVERY subsequent
+                # _pointer call (current_shards, replay skips, probes)
+                # repeats this full epoch listing + _SUCCESS scan —
+                # O(listing) per call on object stores — until the next
+                # new batch happens to publish
+                self._publish_pointer(spark, best)
             return best
         stream = fs.open(p)
         try:

@@ -161,6 +161,100 @@ def test_lsh_candidate_pairs_checkpoint_dir(spark, tmp_path):
     assert {(r.id_a, r.id_b) for r in out.collect()} == {(1, 2)}
 
 
+def _cfg(capacity=4096):
+    from sketchlib import CuckooConfig
+
+    return CuckooConfig(capacity=capacity, fingerprint_bits=16, hash_strategy="xx")
+
+
+def test_probe_sharded_rejects_duplicate_state_rows_broadcast(spark):
+    """Mirror of delete_sharded's guard on the broadcast probe path: a
+    unioned/unmerged shard table (two state rows per shard) probed via
+    ShardedProbeIndex.from_shards would silently answer from PARTIAL
+    state (false negatives) — it must fail loudly instead, pointing at
+    merge_sharded."""
+    from sketchlib.spark.shard import ShardedProbeIndex, build_sharded, probe_sharded
+
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(200)], "key string")
+    shards = build_sharded(keys, "key", num_shards=2, cfg=_cfg())
+    doubled = shards.unionByName(shards)
+    with pytest.raises(Exception, match="merge_sharded"):
+        probe_sharded(keys, "key", doubled, num_shards=2).collect()
+    with pytest.raises(Exception, match="merge_sharded"):
+        ShardedProbeIndex.from_shards(doubled)
+
+
+def test_probe_sharded_rejects_duplicate_state_rows_cogroup(spark):
+    """Same guard on the cogroup (large-state) path — forced by a zero
+    broadcast threshold."""
+    from sketchlib.spark.shard import build_sharded, probe_sharded
+
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(200)], "key string")
+    shards = build_sharded(keys, "key", num_shards=2, cfg=_cfg())
+    doubled = shards.unionByName(shards)
+    with pytest.raises(Exception, match="merge_sharded"):
+        probe_sharded(
+            keys, "key", doubled, num_shards=2, broadcast_threshold_bytes=0
+        ).collect()
+
+
+def test_sharded_stream_pointer_recovery_republishes(spark, tmp_path):
+    """After CURRENT is lost, the first _pointer call recovers from the
+    newest complete epoch AND rewrites CURRENT immediately, so later
+    calls read the pointer file instead of re-listing every epoch."""
+    import os
+
+    from sketchlib.streaming.sharded import ShardedStreamBuilder
+
+    state_dir = str(tmp_path / "state")
+    b = ShardedStreamBuilder("key", num_shards=2, state_dir=state_dir, cfg=_cfg())
+    batch = spark.createDataFrame([(f"k{i}",) for i in range(100)], "key string")
+    b.process_batch(batch, batch_id=0)
+    cur = os.path.join(state_dir, "CURRENT")
+    assert os.path.exists(cur)
+    os.remove(cur)
+    assert b._pointer(spark) == 0
+    assert os.path.exists(cur), "recovery must republish the pointer file"
+    with open(cur) as fh:
+        assert fh.read().strip() == "0"
+
+
+def test_warc_open_archive_stream_non_seekable(tmp_path):
+    """Object-store streams are frequently forward-only: the gzip sniff
+    must use peek, never seek. A raw stream whose seek raises must
+    still parse both plain and whole-file-gzip archives."""
+    import gzip as _gzip
+    import io
+
+    from sketchlib.datagen import warc_bytes
+    from sketchlib.spark.warc import iter_warc_stream, open_archive_stream
+
+    blob = warc_bytes(5, seed=7)
+
+    class ForwardOnly(io.RawIOBase):
+        def __init__(self, data):
+            self._b = io.BytesIO(data)
+
+        def readinto(self, b):
+            return self._b.readinto(b)
+
+        def readable(self):
+            return True
+
+        def seekable(self):
+            return False
+
+        def seek(self, *a):  # pragma: no cover - must never be called
+            raise OSError("forward-only stream")
+
+    for data in (blob, _gzip.compress(blob)):
+        stream = open_archive_stream(
+            "s3://bucket/x.warc", opener=lambda p, d=data: ForwardOnly(d)
+        )
+        recs = list(iter_warc_stream(stream))
+        assert len(recs) == 6  # warcinfo + 5 responses
+
+
 def test_ngram_cap_disabled_counts_hot_gram(spark):
     """Sanity inverse of the above: with the cap off, the boilerplate
     gram participates and na/nb/inter include it."""

@@ -178,10 +178,15 @@ def q_cuckoo_membership(spark, sf_dir):
     from sketchlib.spark import build_sketches, membership_udf, tree_merge
 
     # distinct() already leaves keys hash-partitioned uniformly — build
-    # straight on those partitions, no extra repartition shuffle
+    # straight on those partitions, no extra repartition shuffle. The
+    # key set is probed again below: persist it (it is CARDINALITY
+    # scale — bounded by the filter's 65k capacity, never data scale)
+    # so the probe job reads the cache instead of re-running the
+    # orders scan + distinct shuffle; the build's eager collect is
+    # what materializes the cache.
     keys = _t(spark, sf_dir, "orders").select(
         F.col("o_custkey").cast("string").alias("key")
-    ).distinct()
+    ).distinct().persist()
     cfg = CuckooConfig(capacity=65536, fingerprint_bits=16, hash_strategy="xx")
     merged = tree_merge(build_sketches(keys, "key", lambda: CuckooFilter(cfg)))
     member = membership_udf(spark, merged)
@@ -1859,17 +1864,38 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
+def q_multimodal_audio_real(spark, sf_dir):
+    """REAL-codec round trip (round 4): genuine RIFF/WAVE blobs are
+    encoded executor-side from id-derived geometry (stdlib ``wave``),
+    then decode_media(codec_mode='real') — no stub anywhere — must
+    recover the exact channel count, sample rate and frame count. The
+    oracle recomputes the geometry formulas in SQL, so a decoder that
+    faked or approximated any field hash-mismatches."""
+    from sketchlib.spark.multimodal import decode_media, synth_audio_table
+
+    d = _t(spark, sf_dir, "documents").where("doc_id % 101 = 0")
+    media = synth_audio_table(d, id_col="doc_id")
+    return decode_media(media, codec_mode="real").select(
+        "doc_id",
+        F.col("width").cast("long").alias("channels"),
+        F.col("height").cast("long").alias("sample_rate"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+    )
+
+
 # --------------------------------------------------------------------- registry
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRY ORDER MATTERS: the external driver's correctness artifact
-    # covers the FIRST 50 entries. Round-3 rotation (per the round-2
-    # verdict): every name the round-2 artifact missed (ann_*, *_index,
-    # simhash_buckets, warc_source, multimodal_decode) plus ALL new
-    # round-3 queries sit INSIDE the first 50; the tail holds only
-    # long-stable queries (driver rows green in rounds 1 AND 2, code
-    # untouched since).
+    # covers the FIRST 50 entries. Round-4 rotation: every query whose
+    # code path changed this round (cuckoo_*/bloom/cms via the
+    # broadcast-cache fix, minhash/ngram via the df-caps, sharded_* via
+    # the probe guards, warc_source, multimodal_*) sits INSIDE the
+    # first 50, as does the new multimodal_audio_real; hash_sample
+    # (untouched, driver-green r2+r3) rotated to the tail to make room.
+    # The tail holds only long-stable queries (two driver-green rounds,
+    # code untouched since).
     return {
         "web_sketch_family": q_web_sketch_family,
         "cuckoo_membership": q_cuckoo_membership,
@@ -1888,7 +1914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketches_check": q_quantile_sketches_check,
         "heavy_hitters": q_heavy_hitters,
         "bloom_join_pruning": q_bloom_join_pruning,
-        "hash_sample": q_hash_sample,
+        "multimodal_audio_real": q_multimodal_audio_real,
         "stratified_sample": q_stratified_sample,
         "hll_set_ops": q_hll_set_ops,
         "kmv_set_ops": q_kmv_set_ops,
@@ -1938,6 +1964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customer_per_nation": q_top_customer_per_nation,
         "events_window_counts": q_events_window_counts,
         "sql_interface": q_sql_interface,
+        "hash_sample": q_hash_sample,
     }
 
 
@@ -2330,6 +2357,15 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": (
             "SELECT 64 AS n_media, TRUE AS deterministic, TRUE AS shapes_valid, "
             "TRUE AS features_normalized, TRUE AS images_single_frame"
+        ),
+        # real-codec round trip: the oracle recomputes the id-derived WAV
+        # geometry that synth_audio_table encoded and the stdlib-wave
+        # decoder must have recovered exactly
+        "multimodal_audio_real": (
+            "SELECT doc_id, CAST(1 + doc_id % 2 AS BIGINT) AS channels, "
+            "CAST(8000 + (doc_id % 4) * 2000 AS BIGINT) AS sample_rate, "
+            "CAST(200 + doc_id % 50 AS BIGINT) AS n_frames "
+            "FROM documents WHERE doc_id % 101 = 0"
         ),
         "ann_index": (
             "SELECT 16 AS n_cells, 4 AS nprobe, TRUE AS partition_pruned, "

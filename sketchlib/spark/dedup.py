@@ -231,14 +231,21 @@ def minhash_dedup_pairs(
     # you'd write signatures to a table here instead)
     sigs = sigs.persist()
     banded = sigs.select(id_col, F.explode(band_keys("minhash")).alias("band"))
+    banded_base = None
     if max_band_df is not None:
+        # the cap adds a third consumer of `banded` (hot-key count, then
+        # the two join sides read the filtered frame) — persist the
+        # 16 B/row band frame once rather than re-running the band UDF
+        # per consumer (at warehouse scale you'd write signatures AND
+        # bands to a table; this is the in-session equivalent)
+        banded_base = banded.persist()
         hot = (
-            banded.groupBy("band")
+            banded_base.groupBy("band")
             .agg(F.count("*").alias("band_df"))
             .where(F.col("band_df") > max_band_df)
             .select("band")
         )
-        banded = banded.join(F.broadcast(hot), "band", "left_anti")
+        banded = banded_base.join(F.broadcast(hot), "band", "left_anti")
     left = banded.alias("a")
     right = banded.alias("b")
     cand = (
@@ -269,6 +276,8 @@ def minhash_dedup_pairs(
     # checkpoint_dir opts into an executor-loss-safe reliable checkpoint
     out = materialize(verified, checkpoint_dir)
     sigs.unpersist()
+    if banded_base is not None:
+        banded_base.unpersist()
     return out
 
 

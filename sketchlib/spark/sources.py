@@ -7,6 +7,12 @@ architecture (SURVEY.md §7 "Iceberg in-sandbox"). At 100 TB the Iceberg
 path additionally gives snapshot isolation for checkpoint/resume
 (re-reading the SAME snapshot id keeps the per-partition lineage valid)
 and partition pruning on `warc_ts`/host if the table is so partitioned.
+
+VERIFICATION SCOPE: the parquet path is exercised by the whole suite;
+the Iceberg branch is covered only by ``tests/test_iceberg_optional.py``,
+which SKIPS unless an ``iceberg-spark-runtime`` jar is on the Spark
+classpath (this sandbox has none and cannot download one). Treat the
+Iceberg branch as format-string-ready, not sandbox-verified.
 """
 
 from __future__ import annotations

@@ -17,15 +17,27 @@ from pyspark.sql.types import BooleanType, LongType
 
 from ..serde import loads
 
+# Worker-process-level deserialization cache, keyed by the JVM
+# broadcast id (unique per SparkContext, NEVER reused — assigned by a
+# monotone counter). Keying by id(bc) — the Python object address —
+# is a latent wrong-answer bug in long-lived reused workers: once a
+# query's Broadcast object is garbage-collected, a LATER query's
+# broadcast can land at the same address and silently receive the
+# previous query's deserialized sketch (caught in round 4 when a CMS
+# estimate UDF was handed a CuckooFilter; with two same-typed sketches
+# it would have been wrong answers with no error). Bounded so destroyed
+# broadcasts can't accumulate multi-MB sketches in worker memory.
 _DESER_CACHE: dict[int, object] = {}
+_DESER_CACHE_MAX = 8
 
 
-def _sketch_from(bc) -> object:
-    key = id(bc)
-    sk = _DESER_CACHE.get(key)
+def _sketch_from(bid: int, bc) -> object:
+    sk = _DESER_CACHE.get(bid)
     if sk is None:
         sk = loads(bc.value)
-        _DESER_CACHE[key] = sk
+        while len(_DESER_CACHE) >= _DESER_CACHE_MAX:
+            _DESER_CACHE.pop(next(iter(_DESER_CACHE)))
+        _DESER_CACHE[bid] = sk
     return sk
 
 
@@ -33,10 +45,11 @@ def membership_udf(spark, sketch_or_blob):
     """pandas UDF col→bool: cuckoo/bloom membership (no false negatives)."""
     blob = sketch_or_blob if isinstance(sketch_or_blob, (bytes, bytearray)) else sketch_or_blob.to_bytes()
     bc = spark.sparkContext.broadcast(bytes(blob))
+    bid = bc._jbroadcast.id()  # stable unique key, captured driver-side
 
     @F.pandas_udf(BooleanType())
     def contains(col: pd.Series) -> pd.Series:
-        sk = _sketch_from(bc)
+        sk = _sketch_from(bid, bc)
         fn = getattr(sk, "lookup_batch", None) or sk.contains
         return pd.Series(fn(col))
 
@@ -47,10 +60,11 @@ def cms_estimate_udf(spark, sketch_or_blob):
     """pandas UDF col→long: count-min frequency estimate (never under)."""
     blob = sketch_or_blob if isinstance(sketch_or_blob, (bytes, bytearray)) else sketch_or_blob.to_bytes()
     bc = spark.sparkContext.broadcast(bytes(blob))
+    bid = bc._jbroadcast.id()
 
     @F.pandas_udf(LongType())
     def estimate(col: pd.Series) -> pd.Series:
-        sk = _sketch_from(bc)
+        sk = _sketch_from(bid, bc)
         return pd.Series(sk.estimate(col))
 
     return estimate

@@ -21,14 +21,19 @@ def test_registry_shape():
     # rows-only recall demos are now gated verdicts with exact oracles)
     assert set(qs) == set(oracles)
     # the driver's correctness artifact covers the FIRST 50 names —
-    # every name it missed in round 2 must now sit inside that window
+    # every name whose code path changed in round 4 (plus the names the
+    # round-2 artifact missed) must sit inside that window; hash_sample
+    # rotated to the tail in round 4 (untouched, driver-green r2+r3)
     first50 = list(qs)[:50]
     for name in (
         "ann_cosine_topk", "ann_lsh_recall", "ann_ivf_recall", "ann_index",
         "lsh_index", "simhash_buckets", "warc_source", "multimodal_decode",
-        "streaming_sharded", "streaming_windowed", "hash_sample", "stratified_sample",
-        "hll_set_ops", "kmv_set_ops", "source_similarity",
-        "sharded_bloom_membership",
+        "multimodal_audio_real", "streaming_sharded", "streaming_windowed",
+        "stratified_sample", "hll_set_ops", "kmv_set_ops", "source_similarity",
+        "sharded_bloom_membership", "cuckoo_membership", "cuckoo_delete",
+        "cms_frequency_check", "minhash_identical", "minhash_near_dups",
+        "ngram_jaccard", "dedup_components", "sharded_membership",
+        "sharded_delete",
     ):
         assert name in first50, name
 

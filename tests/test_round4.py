@@ -255,6 +255,111 @@ def test_warc_open_archive_stream_non_seekable(tmp_path):
         assert len(recs) == 6  # warcinfo + 5 responses
 
 
+def _wav_bytes(n_frames=800, rate=8000, channels=1) -> bytes:
+    import io
+    import wave as _wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        t = np.arange(n_frames * channels)
+        samples = (np.sin(t / 10.0) * 12000).astype("<i2")
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def test_decode_media_real_audio_path(spark):
+    """The stdlib-wave audio codec is REAL in this container: a genuine
+    RIFF/WAVE blob decodes to its actual channel count, sample rate and
+    frame count through the distributed mapInPandas path (codec_mode
+    auto), not the stub's byte-sum fake."""
+    from sketchlib.spark.multimodal import decode_media
+
+    blob = _wav_bytes(n_frames=800, rate=8000, channels=1)
+    df = spark.createDataFrame(
+        [(1, blob, "audio")], "doc_id long, media binary, media_type string"
+    )
+    (r,) = decode_media(df).collect()
+    assert (r.width, r.height, r.n_frames) == (1, 8000, 800)  # ch, rate, frames
+    assert len(r.feature) == 8 and abs(sum(r.feature) - 1.0) < 1e-5
+
+
+def test_decode_media_auto_falls_back_to_stub(spark):
+    """Non-media bytes in auto mode take the stub path deterministically
+    — identical output to codec_mode='stub', which is what keeps the
+    driver oracle environment-independent."""
+    from sketchlib.spark.multimodal import decode_media, synth_media_table
+
+    media = synth_media_table(spark, n=12)
+    got_auto = sorted(decode_media(media, codec_mode="auto").collect())
+    got_stub = sorted(decode_media(media, codec_mode="stub").collect())
+    assert got_auto == got_stub
+
+
+def test_decode_media_real_mode_strict(spark):
+    """codec_mode='real' must raise on unparseable media instead of
+    silently substituting fake metadata."""
+    from sketchlib.spark.multimodal import decode_media
+
+    df = spark.createDataFrame(
+        [(1, b"not a wav at all", "audio")],
+        "doc_id long, media binary, media_type string",
+    )
+    with pytest.raises(Exception):
+        decode_media(df, codec_mode="real").collect()
+
+
+def test_decode_media_real_image_with_pil(spark):
+    """Runs only where PIL exists (not this container): a real PNG
+    decodes to its true dimensions."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from sketchlib.spark.multimodal import decode_media
+
+    buf = io.BytesIO()
+    Image.new("RGB", (17, 9)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, buf.getvalue(), "image")], "doc_id long, media binary, media_type string"
+    )
+    (r,) = decode_media(df, codec_mode="real").collect()
+    assert (r.width, r.height, r.n_frames) == (17, 9, 1)
+
+
+def test_udf_deser_cache_keyed_by_broadcast_id():
+    """Round-4 wrong-answer regression: the worker-side deserialization
+    cache was keyed by id(bc) — a reused Python worker could hand query
+    B the sketch of query A after address reuse (observed as a CMS UDF
+    receiving a CuckooFilter; same-typed sketches would have been
+    silently wrong). The cache must key on the JVM broadcast id:
+    distinct bids → distinct sketches, same bid → cached instance,
+    size bounded."""
+    from sketchlib.sketches import BloomFilter, CountMinSketch
+    from sketchlib.spark import udfs
+
+    class FakeBC:
+        def __init__(self, blob):
+            self.value = blob
+
+    udfs._DESER_CACHE.clear()
+    bloom = BloomFilter(capacity=64, fp_rate=0.01)
+    cms = CountMinSketch(width=64, depth=2)
+    a = udfs._sketch_from(101, FakeBC(bloom.to_bytes()))
+    b = udfs._sketch_from(102, FakeBC(cms.to_bytes()))
+    assert type(a) is BloomFilter and type(b) is CountMinSketch
+    assert udfs._sketch_from(101, FakeBC(b"garbage-never-read")) is a  # cached
+    for i in range(20):  # bounded: old entries evicted
+        udfs._sketch_from(200 + i, FakeBC(BloomFilter(capacity=8, fp_rate=0.5).to_bytes()))
+    assert len(udfs._DESER_CACHE) <= udfs._DESER_CACHE_MAX
+    udfs._DESER_CACHE.clear()
+
+
 def test_ngram_cap_disabled_counts_hot_gram(spark):
     """Sanity inverse of the above: with the cap off, the boilerplate
     gram participates and na/nb/inter include it."""

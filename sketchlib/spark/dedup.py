@@ -366,6 +366,7 @@ def simhash_candidate_pairs(
     max_hamming: int = 3,
     n_blocks: int | None = None,
     checkpoint_dir: str | None = None,
+    max_key_df: int | None = 100_000,
 ) -> DataFrame:
     """The Manku combination join over a precomputed (id, signature)
     frame — split out so the blocking layer is testable on crafted
@@ -375,7 +376,14 @@ def simhash_candidate_pairs(
     Block values are extracted with shiftrightunsigned + bitwiseAND
     mask — NOT ``%``, whose Spark semantics follow the dividend's sign
     and would give negative block-0 values for signatures with bit 63
-    set, silently missing every sign-straddling pair."""
+    set, silently missing every sign-straddling pair.
+
+    ``max_key_df``: same boilerplate insurance as the MinHash band cap —
+    byte-identical pages share every combination key, so one hot key is
+    an O(k²) pair generator even though ``dedup_exact`` should run
+    first. Keys hit by more than this many docs are dropped before the
+    self-join (map-side-combined count + broadcast anti-join); docs
+    paired ONLY through a dropped key are missed. ``None`` disables."""
     if n_blocks is None:
         n_blocks = max_hamming + 3
     if not 0 <= max_hamming < n_blocks <= 64:
@@ -405,6 +413,18 @@ def simhash_candidate_pairs(
         sig_df.select(id_col, F.col(sig_col).alias("simhash"), *blocks)
         .select(id_col, "simhash", F.explode(combo_keys).alias("ck"))
     )
+    banded_base = None
+    if max_key_df is not None:
+        # persist once: the hot-key count adds a consumer beyond the two
+        # join sides (sig_df is caller-persisted but the explode is ×20)
+        banded_base = banded.persist()
+        hot = (
+            banded_base.groupBy("ck")
+            .agg(F.count("*").alias("key_df"))
+            .where(F.col("key_df") > max_key_df)
+            .select("ck")
+        )
+        banded = banded_base.join(F.broadcast(hot), "ck", "left_anti")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, "ck")
@@ -420,6 +440,8 @@ def simhash_candidate_pairs(
     # materialize pair-scale candidates eagerly so a caller-persisted
     # signature frame can be released as soon as this returns
     out = materialize(cand, checkpoint_dir)
+    if banded_base is not None:
+        banded_base.unpersist()
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         out.withColumn("hamming", ham)
@@ -534,6 +556,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_gram_df: int | None = 10_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Exact n-gram (word) Jaccard for candidate pairs sharing ≥1 gram.
 
@@ -574,14 +597,20 @@ def ngram_jaccard_pairs(
             ).alias("gram"),
         )
     )
+    grams_base = None
     if max_gram_df is not None:
+        # the cap adds a 4th consumer of the exploded gram frame (hot
+        # count + sizes + two join sides): persist it once instead of
+        # re-running the explode per consumer — operator is documented
+        # for candidate SUBSETS, so the cached frame is subset-scale
+        grams_base = grams.persist()
         hot = (
-            grams.groupBy("gram")
+            grams_base.groupBy("gram")
             .agg(F.count("*").alias("gram_df"))
             .where(F.col("gram_df") > max_gram_df)
             .select("gram")
         )
-        grams = grams.join(F.broadcast(hot), "gram", "left_anti")
+        grams = grams_base.join(F.broadcast(hot), "gram", "left_anti")
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     a = grams.alias("a")
     b = grams.alias("b")
@@ -595,7 +624,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"))
-    return (
+    result = (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
@@ -605,3 +634,10 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "inter", "na", "nb", "jaccard")
     )
+    if grams_base is None:
+        return result
+    # materialize the pair-scale result eagerly so the cached gram frame
+    # can be released now instead of leaking for the session
+    out = materialize(result, checkpoint_dir)
+    grams_base.unpersist()
+    return out

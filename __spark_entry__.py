@@ -179,14 +179,16 @@ def q_cuckoo_membership(spark, sf_dir):
 
     # distinct() already leaves keys hash-partitioned uniformly — build
     # straight on those partitions, no extra repartition shuffle. The
-    # key set is probed again below: persist it (it is CARDINALITY
-    # scale — bounded by the filter's 65k capacity, never data scale)
-    # so the probe job reads the cache instead of re-running the
-    # orders scan + distinct shuffle; the build's eager collect is
-    # what materializes the cache.
+    # key set is probed again below: materialize it once (it is
+    # CARDINALITY scale — bounded by the filter's 65k capacity, never
+    # data scale) so the probe job reuses the blocks instead of
+    # re-running the orders scan + distinct shuffle. localCheckpoint,
+    # not persist: its blocks are released when the frame is
+    # garbage-collected, so repeated invocations in one long-lived
+    # session don't accumulate cache entries.
     keys = _t(spark, sf_dir, "orders").select(
         F.col("o_custkey").cast("string").alias("key")
-    ).distinct().persist()
+    ).distinct().localCheckpoint(eager=True)
     cfg = CuckooConfig(capacity=65536, fingerprint_bits=16, hash_strategy="xx")
     merged = tree_merge(build_sketches(keys, "key", lambda: CuckooFilter(cfg)))
     member = membership_udf(spark, merged)

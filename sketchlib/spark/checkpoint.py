@@ -24,20 +24,49 @@ def materialize(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
     """Eagerly materialize an intermediate result, truncating lineage.
 
     ``checkpoint_dir=None`` → ``localCheckpoint(eager=True)``: blocks
-    live in executor storage — fast (no FS round-trip), but on a real
-    cluster an executor loss AFTER this point is unrecoverable
-    mid-query (the truncated lineage cannot recompute lost blocks).
-    Right default for single-box runs and short-lived intermediates.
+    live in executor storage — fast (no FS round-trip), auto-released
+    when the frame is garbage-collected, but on a real cluster an
+    executor loss AFTER this point is unrecoverable mid-query (the
+    truncated lineage cannot recompute lost blocks). Right default for
+    single-box runs and short-lived intermediates.
 
-    ``checkpoint_dir=<path>`` → reliable ``checkpoint(eager=True)`` to
-    that (HDFS / object-store) directory: survives executor loss at the
-    cost of one distributed write + read. Pass this on long multi-stage
-    cluster jobs where re-running the upstream stages is expensive.
+    ``checkpoint_dir=<path>`` → a parquet round-trip into a unique
+    ``mat-*`` subdirectory of that (HDFS / object-store) path: survives
+    executor loss at the cost of one distributed write + read.
+    Deliberately NOT ``df.checkpoint()``: that would require mutating
+    the SparkContext-GLOBAL checkpoint directory, so two concurrent
+    jobs with different ``checkpoint_dir``s would silently write into
+    each other's directory (and clobber any application-configured
+    one). The written path is recorded on the returned frame as
+    ``_materialize_path``; callers that fully consume the result should
+    pass it to ``drop_materialized`` — nothing is auto-deleted, because
+    the files ARE the frame's storage.
     """
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=True)
-    df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-    return df.checkpoint(eager=True)
+    import uuid
+
+    path = f"{checkpoint_dir.rstrip('/')}/mat-{uuid.uuid4().hex}"
+    df.write.mode("error").parquet(path)
+    out = df.sparkSession.read.parquet(path)
+    out._materialize_path = path
+    return out
+
+
+def drop_materialized(df: DataFrame) -> None:
+    """Delete the parquet files behind a frame returned by
+    ``materialize(..., checkpoint_dir=...)`` (no-op for the
+    localCheckpoint flavor). Call only when the frame — and everything
+    lazily derived from it — is fully consumed."""
+    path = getattr(df, "_materialize_path", None)
+    if path is None:
+        return
+    jvm = df.sparkSession.sparkContext._jvm
+    conf = df.sparkSession.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if fs.exists(p):
+        fs.delete(p, True)
 
 
 def lineage_manifest(checkpoint_dir: str) -> dict:

@@ -517,6 +517,15 @@ def connected_components(
             .where(F.col("n.component") != F.col("p.component"))
             .count()
         )
+        # prev is fully consumed (this round's labels + the changed
+        # count): release its reliable-checkpoint files now so a
+        # checkpoint_dir run keeps at most two label-table copies on
+        # disk instead of one per round. The FINAL labels' files back
+        # the returned frame and stay (caller may drop_materialized
+        # after consuming the result).
+        from .checkpoint import drop_materialized
+
+        drop_materialized(prev)
         if changed == 0:  # labels monotone per vertex ⇒ true fixpoint
             converged = True
             break
@@ -526,7 +535,11 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds; "
             "raise max_iter (components with diameter > 2^max_iter)"
         )
-    return labels.select(F.col("id").alias(id_col), "component")
+    out = labels.select(F.col("id").alias(id_col), "component")
+    # propagate the final materialization path so a checkpoint_dir
+    # caller can drop_materialized(result) once fully consumed
+    out._materialize_path = getattr(labels, "_materialize_path", None)
+    return out
 
 
 def dedup_canonical(
@@ -634,10 +647,12 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "inter", "na", "nb", "jaccard")
     )
-    if grams_base is None:
-        return result
+    if grams_base is None and checkpoint_dir is None:
+        return result  # historical fully-lazy shape
     # materialize the pair-scale result eagerly so the cached gram frame
-    # can be released now instead of leaking for the session
+    # can be released now instead of leaking for the session — and so an
+    # explicit checkpoint_dir is honored even with the cap disabled
     out = materialize(result, checkpoint_dir)
-    grams_base.unpersist()
+    if grams_base is not None:
+        grams_base.unpersist()
     return out

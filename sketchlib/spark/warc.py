@@ -30,7 +30,10 @@ Both plain and whole-file-gzip archives are handled (magic-byte
 sniff). File bytes are read executor-side from the archive *path*
 (the listing job never loads content); local/``file:`` paths use the
 builtin opener — for object stores pass ``opener`` (any callable
-``path -> binary file object``, e.g. ``fsspec.open(path, "rb")``).
+``path -> OPENED binary file object``, e.g.
+``lambda p: fsspec.open(p, "rb").open()`` — note the trailing
+``.open()``: ``fsspec.open`` alone returns an ``OpenFile`` descriptor,
+not a readable stream). Streams may be forward-only (no seek).
 """
 
 from __future__ import annotations
@@ -147,7 +150,19 @@ def iter_warc_stream(
             clen = 0
         start = hdr_end + len(_CRLF2)
         if clen > max_record_bytes:
-            # corrupt/hostile length: skip this record only
+            # oversized/hostile length: skip this record only — and say
+            # so, since a LEGITIMATE large record (the WARC spec has no
+            # payload cap) silently vanishing is undiagnosable; raise
+            # max_record_bytes to ingest such archives
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "skipping WARC record with Content-Length %d > max_record_bytes %d "
+                "(uri=%s); raise max_record_bytes if this record is legitimate",
+                clen,
+                max_record_bytes,
+                headers.get("warc-target-uri"),
+            )
             del buf[:start]
             continue
         if not fill(start + clen):
@@ -185,6 +200,40 @@ def http_body(payload: bytes) -> bytes:
     return payload[sep + 4 :] if sep >= 0 else payload
 
 
+class _HeaderReplayStream(io.RawIOBase):
+    """Replays sniffed header bytes, then delegates to the inner
+    stream — lets the magic bytes be consumed for sniffing without
+    requiring ``seek`` (object-store streams are often forward-only)
+    and without ``peek``'s at-most-one-raw-read weakness."""
+
+    def __init__(self, head: bytes, inner):
+        self._head = memoryview(bytes(head))
+        self._inner = inner
+
+    def readable(self) -> bool:
+        return True
+
+    def readinto(self, b) -> int:
+        if len(self._head):
+            n = min(len(b), len(self._head))
+            b[:n] = self._head[:n]
+            self._head = self._head[n:]
+            return n
+        if hasattr(self._inner, "readinto"):
+            return self._inner.readinto(b) or 0
+        data = self._inner.read(len(b))
+        if not data:
+            return 0
+        b[: len(data)] = data
+        return len(data)
+
+    def close(self) -> None:
+        try:
+            self._inner.close()
+        finally:
+            super().close()
+
+
 def open_archive_stream(path: str, opener=None):
     """Binary stream for one archive path (as produced by Spark file
     listings, e.g. ``file:/data/x.warc.gz``), transparently layered
@@ -206,12 +255,21 @@ def open_archive_stream(path: str, opener=None):
         raw = open(local, "rb")  # noqa: SIM115 — caller-managed stream
     else:
         raw = opener(path)
-    if not hasattr(raw, "peek"):
-        raw = io.BufferedReader(raw)
-    head = raw.peek(2)[:2]
-    if head == b"\x1f\x8b":
-        return gzip.GzipFile(fileobj=raw)
-    return raw
+    # Read EXACTLY the 2 magic bytes (looping: a socket-backed raw read
+    # may legally return 1 byte) and replay them in front of the
+    # stream. peek() is NOT reliable here — BufferedReader.peek does at
+    # most one raw read, so a short first read would misclassify a
+    # gzipped archive as plain and silently drop every record.
+    head = b""
+    while len(head) < 2:
+        chunk = raw.read(2 - len(head))
+        if not chunk:
+            break
+        head += chunk
+    stream = io.BufferedReader(_HeaderReplayStream(head, raw))
+    if head[:2] == b"\x1f\x8b":
+        return gzip.GzipFile(fileobj=stream)
+    return stream
 
 
 def read_warc(

@@ -97,8 +97,15 @@ class ShardedStreamBuilder:
                 # _pointer call (current_shards, replay skips, probes)
                 # repeats this full epoch listing + _SUCCESS scan —
                 # O(listing) per call on object stores — until the next
-                # new batch happens to publish
-                self._publish_pointer(spark, best)
+                # new batch happens to publish. BEST-EFFORT: the heal is
+                # an optimization on a read path, so a concurrent healer
+                # losing the rename race, a writer mid-publish, or a
+                # read-only consumer without write permission must all
+                # degrade to "list again next call", never to an error.
+                try:
+                    self._publish_pointer(spark, best)
+                except Exception:
+                    pass
             return best
         stream = fs.open(p)
         try:
@@ -114,9 +121,14 @@ class ShardedStreamBuilder:
         return int(bytes(data).decode().strip())
 
     def _publish_pointer(self, spark, batch_id: int) -> None:
+        import uuid
+
         jvm, fs = self._fs(spark)
         Path = jvm.org.apache.hadoop.fs.Path
-        tmp = Path(f"{self.state_dir}/.CURRENT.tmp-{batch_id}")
+        # unique tmp name: a recovery heal (reader side, best-effort)
+        # can race the writer or another healer — shared tmp names would
+        # make one participant rename the other's file out from under it
+        tmp = Path(f"{self.state_dir}/.CURRENT.tmp-{batch_id}-{uuid.uuid4().hex}")
         out = fs.create(tmp, True)
         try:
             out.write(bytearray(str(batch_id).encode()))
@@ -128,9 +140,16 @@ class ShardedStreamBuilder:
         # the delete+rename pair is NOT one atomic step (and on object
         # stores rename is copy+delete) — a crash in the gap is healed
         # by _pointer()'s newest-complete-epoch recovery above, so the
-        # window can lose the pointer FILE but never published STATE
+        # window can lose the pointer FILE but never published STATE.
+        # A rename refused because dst reappeared (a healer republished
+        # in the gap) is retried once after re-deleting; pointer values
+        # only ever move forward, so whichever write wins is safe — the
+        # reader recovery path tolerates a stale-but-present pointer.
         if not fs.rename(tmp, dst):
-            raise OSError(f"pointer rename failed: {tmp} -> {dst}")
+            if fs.exists(dst):
+                fs.delete(dst, False)
+            if not fs.rename(tmp, dst):
+                raise OSError(f"pointer rename failed: {tmp} -> {dst}")
 
     def _prune_epochs(self, spark, keep_from: int) -> None:
         """Delete epoch dirs older than ``keep_from`` (the predecessor

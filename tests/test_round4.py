@@ -77,18 +77,17 @@ def test_minhash_cap_disabled_matches_uncapped(spark):
 def test_simhash_key_cap_bounds_identical_corpus(spark, identical_docs):
     """Byte-identical docs share every Manku combination key: with the
     cap every hot key is dropped before the self-join, so the 10k-doc
-    corpus produces zero pairs instead of ~10^9."""
-    from sketchlib.spark.dedup import simhash_near_dup_pairs
-
-    out = simhash_near_dup_pairs(identical_docs, max_hamming=0)
-    # default max_key_df=100k doesn't trigger at 10k docs; use a small cap
-    from sketchlib.spark.dedup import simhash_candidate_pairs, simhash_udf
+    corpus produces zero pairs instead of ~10^9. (Only the capped path
+    may EXECUTE here — simhash_candidate_pairs materializes eagerly, so
+    an uncapped call on this corpus would itself be the quadratic
+    blow-up this test guards against.)"""
     from pyspark.sql import functions as F
+
+    from sketchlib.spark.dedup import simhash_candidate_pairs, simhash_udf
 
     sh = identical_docs.withColumn("simhash", simhash_udf()(F.col("text"))).drop("text")
     capped = simhash_candidate_pairs(sh, max_hamming=0, max_key_df=50)
     assert capped.count() == 0
-    del out  # default-cap plan built fine; counted via the capped path
 
 
 def test_simhash_key_cap_preserves_subcap_signal(spark):
@@ -185,11 +184,27 @@ def test_reliable_checkpoint_dir_path(spark, tmp_path):
 
     import os
 
-    # reliable checkpoints write rdd-* dirs under the checkpoint root
+    # reliable materialization writes mat-* parquet dirs under the
+    # checkpoint root (parquet round-trip, NOT df.checkpoint — that
+    # would mutate the context-global checkpoint dir; see
+    # checkpoint.materialize). connected_components prunes each
+    # consumed round's dir, so at least the final labels' dir remains.
     found = []
-    for root, dirs, _files in os.walk(ckpt):
-        found += [d for d in dirs if d.startswith("rdd-")]
-    assert found, "no reliable checkpoint data written under checkpoint_dir"
+    for _root, dirs, _files in os.walk(ckpt):
+        found += [d for d in dirs if d.startswith("mat-")]
+    assert found, "no reliable materialization data written under checkpoint_dir"
+    # CC prunes each consumed round's dir — the total left behind is a
+    # handful of result-backing frames, NOT one per CC iteration
+    assert len(found) <= 5, found
+
+    from sketchlib.spark.checkpoint import drop_materialized
+
+    comp.collect()  # fully consume before dropping the backing files
+    drop_materialized(comp)
+    remaining = []
+    for _root, dirs, _files in os.walk(ckpt):
+        remaining += [d for d in dirs if d.startswith("mat-")]
+    assert len(remaining) < len(found)
 
 
 def test_lsh_candidate_pairs_checkpoint_dir(spark, tmp_path):
@@ -289,12 +304,24 @@ def test_warc_open_archive_stream_non_seekable(tmp_path):
         def seek(self, *a):  # pragma: no cover - must never be called
             raise OSError("forward-only stream")
 
-    for data in (blob, _gzip.compress(blob)):
-        stream = open_archive_stream(
-            "s3://bucket/x.warc", opener=lambda p, d=data: ForwardOnly(d)
-        )
-        recs = list(iter_warc_stream(stream))
-        assert len(recs) == 6  # warcinfo + 5 responses
+    class OneBytePerRead(ForwardOnly):
+        """Legal RawIOBase behavior: each readinto returns at most ONE
+        byte — the case that broke the peek(2)-based sniff (peek does at
+        most one raw read, so it saw 1 byte and misclassified gzip)."""
+
+        def readinto(self, b):
+            if len(b) == 0:
+                return 0
+            one = memoryview(b)[:1]
+            return self._b.readinto(one)
+
+    for wrapper in (ForwardOnly, OneBytePerRead):
+        for data in (blob, _gzip.compress(blob)):
+            stream = open_archive_stream(
+                "s3://bucket/x.warc", opener=lambda p, d=data, w=wrapper: w(d)
+            )
+            recs = list(iter_warc_stream(stream))
+            assert len(recs) == 6, wrapper.__name__  # warcinfo + 5 responses
 
 
 def _wav_bytes(n_frames=800, rate=8000, channels=1) -> bytes:

@@ -153,10 +153,12 @@ def warmup(spark) -> None:
     ).count()
 
 
-def run_headline(spark, repeats: int = 2) -> dict:
+def run_headline(spark, repeats: int = 3) -> dict:
     """Best-of-N per query: single runs at sf0.1 are noise-bound ±20%
-    for the sub-second queries, which hides regressions round-over-
-    round; the best of two runs is a stable point estimate."""
+    for the sub-second queries — and the BOX itself drifts (same-code
+    full-suite totals measured 11.9-26.2 s across one day, see
+    BENCH.md round 4) — which hides regressions round-over-round; the
+    best of three runs is the stable point estimate of capability."""
     import __spark_entry__ as entry_mod
 
     warmup(spark)

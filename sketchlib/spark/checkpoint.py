@@ -41,6 +41,13 @@ def materialize(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
     ``_materialize_path``; callers that fully consume the result should
     pass it to ``drop_materialized`` — nothing is auto-deleted, because
     the files ARE the frame's storage.
+
+    Tradeoff vs ``df.checkpoint``: the frame must be parquet-writable —
+    no ``NullType`` columns (e.g. a bare ``F.lit(None)``) or
+    parquet-illegal column names — and the round-trip reads back with
+    all columns nullable. Every frame this library materializes is
+    concrete-typed pair/label output, so this never binds internally;
+    cast ``lit(None)`` placeholders before passing external frames.
     """
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=True)
@@ -51,6 +58,16 @@ def materialize(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
     out = df.sparkSession.read.parquet(path)
     out._materialize_path = path
     return out
+
+
+def propagate_materialized(src: DataFrame, dst: DataFrame) -> DataFrame:
+    """Carry ``_materialize_path`` from a materialized frame onto a
+    frame DERIVED from it (select/filter/join wrappers), so the public
+    return value of an operator remains drop_materialized-able. The
+    derived frame reads the same parquet files — drop only after fully
+    consuming it."""
+    dst._materialize_path = getattr(src, "_materialize_path", None)
+    return dst
 
 
 def drop_materialized(df: DataFrame) -> None:

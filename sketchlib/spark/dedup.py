@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..hashing import kernels
-from .checkpoint import materialize
+from .checkpoint import drop_materialized, materialize, propagate_materialized
 
 U64 = np.uint64
 
@@ -443,10 +443,11 @@ def simhash_candidate_pairs(
     if banded_base is not None:
         banded_base.unpersist()
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
+    return propagate_materialized(
+        out,
         out.withColumn("hamming", ham)
         .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select("id_a", "id_b", "hamming"),
     )
 
 
@@ -523,23 +524,25 @@ def connected_components(
         # disk instead of one per round. The FINAL labels' files back
         # the returned frame and stay (caller may drop_materialized
         # after consuming the result).
-        from .checkpoint import drop_materialized
-
         drop_materialized(prev)
         if changed == 0:  # labels monotone per vertex ⇒ true fixpoint
             converged = True
             break
     sym.unpersist()
     if not converged:
+        # abandoning the computation: nothing useful survives, so the
+        # final round's reliable files must not leak (the caller gets
+        # no handle to them through the exception)
+        drop_materialized(labels)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "
             "raise max_iter (components with diameter > 2^max_iter)"
         )
-    out = labels.select(F.col("id").alias(id_col), "component")
     # propagate the final materialization path so a checkpoint_dir
     # caller can drop_materialized(result) once fully consumed
-    out._materialize_path = getattr(labels, "_materialize_path", None)
-    return out
+    return propagate_materialized(
+        labels, labels.select(F.col("id").alias(id_col), "component")
+    )
 
 
 def dedup_canonical(
@@ -556,7 +559,9 @@ def dedup_canonical(
         pairs, df.select(id_col), id_col, max_iter=max_iter, checkpoint_dir=checkpoint_dir
     )
     keep = comp.where(F.col(id_col) == F.col("component")).select(id_col)
-    return df.join(keep, id_col, "left_semi")
+    # the result lazily reads comp's reliable files — hand their path to
+    # the caller for drop_materialized after full consumption
+    return propagate_materialized(comp, df.join(keep, id_col, "left_semi"))
 
 
 # --------------------------------------------------------------- ngram jaccard

@@ -13,7 +13,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from .checkpoint import materialize
+from .checkpoint import materialize, propagate_materialized
 
 
 def _dot(a, b):
@@ -324,7 +324,8 @@ def _lsh_candidate_pairs(
     banded.unpersist()
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    return (
+    return propagate_materialized(
+        pairs,
         pairs.join(va, "id_a")
         .join(vb, "id_b")
         .select(
@@ -333,7 +334,7 @@ def _lsh_candidate_pairs(
             (_dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))).alias(
                 "cosine_sim"
             ),
-        )
+        ),
     )
 
 
@@ -434,8 +435,9 @@ def pairwise_cosine_knn(
         )
     )
     w = Window.partitionBy("id_a").orderBy(F.col("cosine_sim").desc(), F.col("id_b"))
-    return (
-        directed.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k).drop("rk")
+    return propagate_materialized(
+        und,
+        directed.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k).drop("rk"),
     )
 
 
@@ -455,6 +457,7 @@ def embedding_near_dup_pairs(
     near-dup survives all 12 bands missing with prob (1-0.9^6)^12
     ≈ 2e-4 — while isotropic pairs (p ≈ 0.5) enter candidacy only
     ~1.6% per band. Returns (id_a, id_b, cosine_sim), id_a < id_b."""
-    return _lsh_candidate_pairs(
+    cand = _lsh_candidate_pairs(
         df, vec_col, id_col, bands, bits_per_band, seed, checkpoint_dir
-    ).where(F.col("cosine_sim") >= sim_threshold)
+    )
+    return propagate_materialized(cand, cand.where(F.col("cosine_sim") >= sim_threshold))

@@ -213,15 +213,21 @@ class _HeaderReplayStream(io.RawIOBase):
     def readable(self) -> bool:
         return True
 
-    def readinto(self, b) -> int:
+    def readinto(self, b):
         if len(self._head):
             n = min(len(b), len(self._head))
             b[:n] = self._head[:n]
             self._head = self._head[n:]
             return n
         if hasattr(self._inner, "readinto"):
-            return self._inner.readinto(b) or 0
+            # propagate None verbatim: RawIOBase contract is None =
+            # "no data available yet" (non-blocking), 0 = EOF —
+            # collapsing None to 0 would truncate the archive at the
+            # first would-block moment
+            return self._inner.readinto(b)
         data = self._inner.read(len(b))
+        if data is None:
+            return None  # would-block, NOT end-of-stream
         if not data:
             return 0
         b[: len(data)] = data
@@ -263,8 +269,10 @@ def open_archive_stream(path: str, opener=None):
     head = b""
     while len(head) < 2:
         chunk = raw.read(2 - len(head))
+        if chunk is None:
+            continue  # would-block (non-blocking source): retry, not EOF
         if not chunk:
-            break
+            break  # b"" = genuine end-of-stream
         head += chunk
     stream = io.BufferedReader(_HeaderReplayStream(head, raw))
     if head[:2] == b"\x1f\x8b":

@@ -67,43 +67,49 @@ class ShardedStreamBuilder:
         path = jvm.org.apache.hadoop.fs.Path(self.state_dir)
         return jvm, path.getFileSystem(conf)
 
+    def _newest_complete_epoch(self, jvm, fs) -> int | None:
+        """Max epoch id carrying Spark's _SUCCESS marker (partial
+        writes lack it). The epoch write always finishes before the
+        pointer swap starts, so this IS the last published state."""
+        best = None
+        base = jvm.org.apache.hadoop.fs.Path(self.state_dir)
+        if fs.exists(base):
+            for status in fs.listStatus(base):
+                name = status.getPath().getName()
+                if name.startswith("epoch-"):
+                    try:
+                        eid = int(name.removeprefix("epoch-"))
+                    except ValueError:
+                        continue
+                    ok = jvm.org.apache.hadoop.fs.Path(
+                        f"{self.state_dir}/{name}/_SUCCESS"
+                    )
+                    if fs.exists(ok) and (best is None or eid > best):
+                        best = eid
+        return best
+
     def _pointer(self, spark) -> int | None:
         jvm, fs = self._fs(spark)
         p = jvm.org.apache.hadoop.fs.Path(f"{self.state_dir}/CURRENT")
         if not fs.exists(p):
             # CURRENT can be missing mid-swap (the delete+rename pair in
             # _publish_pointer is not atomic on every FS): recover from
-            # the newest COMPLETE epoch dir (Spark's _SUCCESS marker —
-            # the epoch write always finishes before the pointer swap
-            # starts, so the max complete epoch IS the last published
-            # state; partial writes lack _SUCCESS and are ignored).
-            best = None
-            base = jvm.org.apache.hadoop.fs.Path(self.state_dir)
-            if fs.exists(base):
-                for status in fs.listStatus(base):
-                    name = status.getPath().getName()
-                    if name.startswith("epoch-"):
-                        try:
-                            eid = int(name.removeprefix("epoch-"))
-                        except ValueError:
-                            continue
-                        ok = jvm.org.apache.hadoop.fs.Path(
-                            f"{self.state_dir}/{name}/_SUCCESS"
-                        )
-                        if fs.exists(ok) and (best is None or eid > best):
-                            best = eid
+            # the newest complete epoch.
+            best = self._newest_complete_epoch(jvm, fs)
             if best is not None:
                 # heal the pointer file now: otherwise EVERY subsequent
                 # _pointer call (current_shards, replay skips, probes)
-                # repeats this full epoch listing + _SUCCESS scan —
+                # repeats the full epoch listing + _SUCCESS scan —
                 # O(listing) per call on object stores — until the next
-                # new batch happens to publish. BEST-EFFORT: the heal is
-                # an optimization on a read path, so a concurrent healer
-                # losing the rename race, a writer mid-publish, or a
-                # read-only consumer without write permission must all
+                # new batch happens to publish. BEST-EFFORT and
+                # CREATE-ONLY (overwrite=False): a healer must never
+                # replace an existing CURRENT — a stalled healer holding
+                # best=N could otherwise overwrite a writer's fresher
+                # N+1 and move the pointer BACKWARD. Losing the race, a
+                # writer mid-publish, or a read-only consumer all
                 # degrade to "list again next call", never to an error.
                 try:
-                    self._publish_pointer(spark, best)
+                    self._publish_pointer(spark, best, overwrite=False)
                 except Exception:
                     pass
             return best
@@ -118,38 +124,69 @@ class ShardedStreamBuilder:
                 b = stream.read()
         finally:
             stream.close()
-        return int(bytes(data).decode().strip())
+        val = int(bytes(data).decode().strip())
+        # STALENESS GUARD: foreachBatch batch ids are consecutive, so a
+        # complete epoch-(val+1) proves this pointer predates a newer
+        # publish (possible only through a crash/heal interleaving).
+        # One extra exists() per read buys the forward-only guarantee AT
+        # THE CONSUMER: no merge can ever base itself on a stale epoch,
+        # whatever the pointer file says. CURRENT is left for the next
+        # writer publish to fix (a reader overwriting it would reopen
+        # the backward-race this guard closes).
+        nxt = jvm.org.apache.hadoop.fs.Path(
+            f"{self.state_dir}/epoch-{val + 1}/_SUCCESS"
+        )
+        if fs.exists(nxt):
+            return self._newest_complete_epoch(jvm, fs)
+        return val
 
-    def _publish_pointer(self, spark, batch_id: int) -> None:
+    def _publish_pointer(self, spark, batch_id: int, overwrite: bool = True) -> None:
+        """Write CURRENT = batch_id via unique-tmp + rename.
+
+        ``overwrite=True`` is the WRITER path (process_batch): the
+        single stream's batch ids are strictly increasing, so replacing
+        dst is always forward. ``overwrite=False`` is the reader-side
+        HEAL path: create-only — if CURRENT exists (or appears mid-
+        race), the heal is unnecessary and becomes a no-op; a healer
+        must never delete/replace dst, because its value may be stale
+        (see _pointer). Tmp files are cleaned up on every non-success
+        path so lost races don't litter state_dir."""
         import uuid
 
         jvm, fs = self._fs(spark)
         Path = jvm.org.apache.hadoop.fs.Path
-        # unique tmp name: a recovery heal (reader side, best-effort)
-        # can race the writer or another healer — shared tmp names would
-        # make one participant rename the other's file out from under it
+        dst = Path(f"{self.state_dir}/CURRENT")
+        if not overwrite and fs.exists(dst):
+            return  # someone already published: nothing to heal
+        # unique tmp name: concurrent healers (or healer vs writer)
+        # with a shared tmp name would rename each other's file away
         tmp = Path(f"{self.state_dir}/.CURRENT.tmp-{batch_id}-{uuid.uuid4().hex}")
         out = fs.create(tmp, True)
         try:
             out.write(bytearray(str(batch_id).encode()))
         finally:
             out.close()
-        dst = Path(f"{self.state_dir}/CURRENT")
-        if fs.exists(dst):
-            fs.delete(dst, False)
-        # the delete+rename pair is NOT one atomic step (and on object
-        # stores rename is copy+delete) — a crash in the gap is healed
-        # by _pointer()'s newest-complete-epoch recovery above, so the
-        # window can lose the pointer FILE but never published STATE.
-        # A rename refused because dst reappeared (a healer republished
-        # in the gap) is retried once after re-deleting; pointer values
-        # only ever move forward, so whichever write wins is safe — the
-        # reader recovery path tolerates a stale-but-present pointer.
-        if not fs.rename(tmp, dst):
-            if fs.exists(dst):
+        try:
+            if overwrite and fs.exists(dst):
                 fs.delete(dst, False)
+            # the delete+rename pair is NOT one atomic step (and on
+            # object stores rename is copy+delete) — a crash in the gap
+            # is healed by _pointer()'s newest-complete-epoch recovery,
+            # so the window can lose the pointer FILE but never
+            # published STATE.
             if not fs.rename(tmp, dst):
-                raise OSError(f"pointer rename failed: {tmp} -> {dst}")
+                if not overwrite:
+                    return  # dst appeared mid-race: heal already done
+                # writer retry: dst can only have been re-created by a
+                # healer, whose value is ≤ the epochs on disk ≤ this
+                # batch_id — replacing it is forward-only
+                if fs.exists(dst):
+                    fs.delete(dst, False)
+                if not fs.rename(tmp, dst):
+                    raise OSError(f"pointer rename failed: {tmp} -> {dst}")
+        finally:
+            if fs.exists(tmp):
+                fs.delete(tmp, False)
 
     def _prune_epochs(self, spark, keep_from: int) -> None:
         """Delete epoch dirs older than ``keep_from`` (the predecessor

@@ -615,20 +615,19 @@ def ngram_jaccard_pairs(
             ).alias("gram"),
         )
     )
-    grams_base = None
     if max_gram_df is not None:
         # the cap adds a 4th consumer of the exploded gram frame (hot
-        # count + sizes + two join sides): persist it once instead of
-        # re-running the explode per consumer — operator is documented
-        # for candidate SUBSETS, so the cached frame is subset-scale
-        grams_base = grams.persist()
+        # count + sizes + two join sides); unlike the minhash band UDF
+        # the explode is pure whole-stage-codegen — recomputing it is
+        # cheaper than caching gram strings, and keeping the operator
+        # LAZY preserves its historical contract and plan inspectability
         hot = (
-            grams_base.groupBy("gram")
+            grams.groupBy("gram")
             .agg(F.count("*").alias("gram_df"))
             .where(F.col("gram_df") > max_gram_df)
             .select("gram")
         )
-        grams = grams_base.join(F.broadcast(hot), "gram", "left_anti")
+        grams = grams.join(F.broadcast(hot), "gram", "left_anti")
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     a = grams.alias("a")
     b = grams.alias("b")
@@ -652,12 +651,7 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "inter", "na", "nb", "jaccard")
     )
-    if grams_base is None and checkpoint_dir is None:
+    if checkpoint_dir is None:
         return result  # historical fully-lazy shape
-    # materialize the pair-scale result eagerly so the cached gram frame
-    # can be released now instead of leaking for the session — and so an
-    # explicit checkpoint_dir is honored even with the cap disabled
-    out = materialize(result, checkpoint_dir)
-    if grams_base is not None:
-        grams_base.unpersist()
-    return out
+    # an explicit checkpoint_dir opts into eager reliable materialization
+    return materialize(result, checkpoint_dir)

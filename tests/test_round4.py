@@ -61,6 +61,31 @@ def test_minhash_band_cap_preserves_subcap_signal(spark):
     assert out[0].jaccard_sim == 1.0
 
 
+def test_df_cap_anti_join_is_broadcast(spark):
+    """Plan shape of the cap: the hot-key exclusion must be a BROADCAST
+    left-anti join (the hot set is ≤ n/cap rows by construction) — a
+    shuffled anti-join would add an Exchange of the full band/gram
+    frame and defeat the point of a cheap insurance filter."""
+    from sketchlib.spark.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i} alpha beta gamma delta epsilon zeta eta theta") for i in range(30)],
+        "doc_id long, text string",
+    )
+    # ngram stays lazy without checkpoint_dir, so the executed plan of
+    # the returned frame shows the cap's join strategy directly (the
+    # minhash/simhash variants share the identical F.broadcast +
+    # left_anti construction but materialize eagerly)
+    ng = ngram_jaccard_pairs(docs, n=3, threshold=0.9, max_gram_df=5)
+    ng_plan = ng._jdf.queryExecution().executedPlan().toString()
+    final = ng_plan.split("== Initial Plan ==")[0]
+    assert "LeftAnti" in final
+    # every LeftAnti in the plan must be broadcast, never shuffled
+    for line in final.splitlines():
+        if "LeftAnti" in line:
+            assert "Broadcast" in line, line
+
+
 def test_minhash_cap_disabled_matches_uncapped(spark):
     """max_band_df=None keeps the historical exhaustive behavior on a
     small corpus: all C(n,2) identical pairs come back."""

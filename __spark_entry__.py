@@ -1885,6 +1885,22 @@ def q_multimodal_audio_real(spark, sf_dir):
     )
 
 
+def q_multimodal_frame_sample(spark, sf_dir):
+    """frame_sample over REAL-decoded media (round 4): WAV blobs are
+    encoded executor-side, decoded with codec_mode='real', then the
+    frame-sampling plan (sequence+explode, pure DataFrame expression)
+    emits one row per sampled frame index. The oracle recomputes
+    range(0, n_frames, 10) from the id-derived geometry, so both the
+    codec's frame count AND the sampling expression are exact-checked."""
+    from sketchlib.spark.multimodal import decode_media, frame_sample, synth_audio_table
+
+    d = _t(spark, sf_dir, "documents").where("doc_id % 101 = 0")
+    dec = decode_media(synth_audio_table(d, id_col="doc_id"), codec_mode="real")
+    return frame_sample(dec, every_n=10).select(
+        "doc_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
+
+
 # --------------------------------------------------------------------- registry
 
 
@@ -1915,7 +1931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_frequency_check": q_cms_frequency_check,
         "quantile_sketches_check": q_quantile_sketches_check,
         "heavy_hitters": q_heavy_hitters,
-        "bloom_join_pruning": q_bloom_join_pruning,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_audio_real": q_multimodal_audio_real,
         "stratified_sample": q_stratified_sample,
         "hll_set_ops": q_hll_set_ops,
@@ -1967,6 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_counts": q_events_window_counts,
         "sql_interface": q_sql_interface,
         "hash_sample": q_hash_sample,
+        "bloom_join_pruning": q_bloom_join_pruning,
     }
 
 
@@ -2368,6 +2385,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(8000 + (doc_id % 4) * 2000 AS BIGINT) AS sample_rate, "
             "CAST(200 + doc_id % 50 AS BIGINT) AS n_frames "
             "FROM documents WHERE doc_id % 101 = 0"
+        ),
+        # frame_sample mirror: Spark emits sequence(0, n_frames-1, 10)
+        # (inclusive bound) = DuckDB range(0, n_frames, 10) (exclusive)
+        "multimodal_frame_sample": (
+            "SELECT doc_id, CAST(unnest(range(0, 200 + doc_id % 50, 10)) AS BIGINT) "
+            "AS frame_idx FROM documents WHERE doc_id % 101 = 0"
         ),
         "ann_index": (
             "SELECT 16 AS n_cells, 4 AS nprobe, TRUE AS partition_pruned, "

@@ -157,10 +157,17 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plan: one row per sampled frame index.
 
     Pure DataFrame expression (sequence+explode) — the decode of each
-    sampled frame happens in decode_media downstream."""
+    sampled frame happens in decode_media downstream. Media with
+    ``n_frames <= 0`` yield no sampled frames (explode drops the null
+    array), rather than a spurious frame 0."""
     return df.withColumn(
         "frame_idx",
-        F.explode(F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))),
+        F.explode(
+            F.when(
+                F.col("n_frames") > 0,
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n)),
+            )
+        ),
     )
 
 

@@ -430,13 +430,17 @@ def test_multimodal_unknown_type_raises(spark):
 def test_frame_sample_plan(spark):
     from sketchlib.spark.multimodal import frame_sample
 
-    df = spark.createDataFrame([(1, 25), (2, 1)], "doc_id long, n_frames int")
+    df = spark.createDataFrame(
+        [(1, 25), (2, 1), (3, 0)], "doc_id long, n_frames int"
+    )
     rows = frame_sample(df, every_n=10).collect()
     by_doc = {}
     for r in rows:
         by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
     assert sorted(by_doc[1]) == [0, 10, 20]
     assert by_doc[2] == [0]
+    # zero-frame media yield NO sampled frames (not a spurious frame 0)
+    assert 3 not in by_doc
 
 
 # ----------------------------------------------------------------- streaming

@@ -26,7 +26,10 @@ try:
     from hypothesis import settings as _hyp_settings
 
     _hyp_settings.register_profile("ci", derandomize=True)
-    _hyp_settings.load_profile("ci")
+    # Opt-in randomized deep runs: HYPOTHESIS_PROFILE=stress for local
+    # counterexample hunting (the CI gate itself stays deterministic).
+    _hyp_settings.register_profile("stress", max_examples=2000)
+    _hyp_settings.load_profile(os.environ.get("HYPOTHESIS_PROFILE", "ci"))
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
 

@@ -23,6 +23,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _sized_cuckoo_cfg(n_keys: int, **kw):
+    """Cuckoo geometry sized to the keyset, never a fixed constant.
+
+    The filter's no-false-negative contract only holds below
+    saturation (a b=4 filter silently rejects inserts near full —
+    reference internal/filter/filter.go:107), so membership/delete
+    queries must size capacity from the data: a hard-coded 65536
+    passes sf0.01 and silently loses ~55% of lineitem orderkeys at
+    sf0.1. ≥15% headroom over the 0.95-load gate covers hash skew
+    across shards; the config's own next-pow2 bucket round-up
+    (config.py) adds more. Sizing costs one count() on a frame these
+    queries materialize anyway."""
+    from sketchlib import CuckooConfig
+
+    return CuckooConfig(capacity=max(65536, int(n_keys / 0.85) + 1), **kw)
+
+
 # ------------------------------------------------------- derived dup corpus
 #
 # The driver documents table has zero duplicate texts, so dedup queries
@@ -174,13 +191,13 @@ def q_web_sketch_family(spark, sf_dir):
 def q_cuckoo_membership(spark, sf_dir):
     """Cuckoo insert+lookup (SURVEY §2.1 #2,#4,#11): probe the inserted
     key set — no false negatives ⇒ result = exactly the distinct keys."""
-    from sketchlib import CuckooConfig, CuckooFilter
+    from sketchlib import CuckooFilter
     from sketchlib.spark import build_sketches, membership_udf, tree_merge
 
     # distinct() already leaves keys hash-partitioned uniformly — build
     # straight on those partitions, no extra repartition shuffle. The
     # key set is probed again below: materialize it once (it is
-    # CARDINALITY scale — bounded by the filter's 65k capacity, never
+    # CARDINALITY scale — bounded by the filter's capacity, never
     # data scale) so the probe job reuses the blocks instead of
     # re-running the orders scan + distinct shuffle. localCheckpoint,
     # not persist: its blocks are released when the frame is
@@ -189,7 +206,9 @@ def q_cuckoo_membership(spark, sf_dir):
     keys = _t(spark, sf_dir, "orders").select(
         F.col("o_custkey").cast("string").alias("key")
     ).distinct().localCheckpoint(eager=True)
-    cfg = CuckooConfig(capacity=65536, fingerprint_bits=16, hash_strategy="xx")
+    # count() reads the checkpointed blocks (no re-scan) and sizes the
+    # filter to the keyset — see _sized_cuckoo_cfg for why never fixed
+    cfg = _sized_cuckoo_cfg(keys.count(), fingerprint_bits=16, hash_strategy="xx")
     merged = tree_merge(build_sketches(keys, "key", lambda: CuckooFilter(cfg)))
     member = membership_udf(spark, merged)
     return keys.withColumn("m", member("key")).where("m").select("key")
@@ -204,7 +223,7 @@ def q_cuckoo_delete(spark, sf_dir):
     the driver by design, because a single merged filter's state lives
     in one place. The data-scale path is `sharded_delete`, where
     deletes route executor-side with no driver collection."""
-    from sketchlib import CuckooConfig, CuckooFilter
+    from sketchlib import CuckooFilter
     from sketchlib.spark import build_sketches, membership_udf, tree_merge
 
     li = _t(spark, sf_dir, "lineitem")
@@ -214,11 +233,13 @@ def q_cuckoo_delete(spark, sf_dir):
         .select(F.col("l_orderkey").cast("string").alias("key"))
         .distinct()
     )
+    keys = keys.localCheckpoint(eager=True)  # count + build + anti-join, one scan
     kept = keys.join(deleted, "key", "left_anti")
-    cfg = CuckooConfig(capacity=65536, fingerprint_bits=16, hash_strategy="xx")
+    cfg = _sized_cuckoo_cfg(keys.count(), fingerprint_bits=16, hash_strategy="xx")
     merged = tree_merge(
         build_sketches(keys, "key", lambda: CuckooFilter(cfg))
     )
+    assert merged.insert_failures == 0  # sized to the keyset: loud if not
     merged.delete_batch([r.key for r in deleted.collect()])
     member = membership_udf(spark, merged)
     return kept.withColumn("m", member("key")).where("m").select("key")
@@ -226,13 +247,13 @@ def q_cuckoo_delete(spark, sf_dir):
 
 def q_cuckoo_count(spark, sf_dir):
     """Count()/LoadFactor() (SURVEY §2.1 #6,#7): exact stored count."""
-    from sketchlib import CuckooConfig, CuckooFilter
+    from sketchlib import CuckooFilter
     from sketchlib.spark import build_sketches, tree_merge
 
     keys = _t(spark, sf_dir, "orders").select(
         F.col("o_custkey").cast("string").alias("key")
-    ).distinct()
-    cfg = CuckooConfig(capacity=65536, fingerprint_bits=16, hash_strategy="xx")
+    ).distinct().localCheckpoint(eager=True)
+    cfg = _sized_cuckoo_cfg(keys.count(), fingerprint_bits=16, hash_strategy="xx")
     merged = tree_merge(
         build_sketches(keys, "key", lambda: CuckooFilter(cfg))
     )
@@ -242,7 +263,12 @@ def q_cuckoo_count(spark, sf_dir):
 
 def q_cuckoo_lifecycle(spark, sf_dir):
     """Full API lifecycle (SURVEY §2.1 #1,#6,#7,#8,#9): New→InsertBatch→
-    Count/LoadFactor/Capacity→Reset. All metrics exactly SQL-derivable."""
+    Count/LoadFactor/Capacity→Reset. All metrics exactly SQL-derivable.
+
+    Deliberately FIXED 65536 geometry (unlike the _sized_cuckoo_cfg
+    queries): capacity and load_factor are output columns pinned by a
+    static oracle, so this is the constant-geometry API demo — scoped
+    to keysets under ~55k (o_custkey through sf0.1)."""
     from sketchlib import CuckooConfig, CuckooFilter
     from sketchlib.spark import build_sketches, tree_merge
 
@@ -468,13 +494,12 @@ def q_bloom_membership(spark, sf_dir):
 def q_sharded_membership(spark, sf_dir):
     """Sharded cuckoo (the 10^12-scale path): build per key-hash shard,
     probe routed by the same partitioner."""
-    from sketchlib import CuckooConfig
     from sketchlib.spark.shard import build_sharded, probe_sharded
 
     keys = _t(spark, sf_dir, "orders").select(
         F.col("o_custkey").cast("string").alias("key")
-    ).distinct()
-    cfg = CuckooConfig(capacity=65536, fingerprint_bits=16, hash_strategy="xx")
+    ).distinct().localCheckpoint(eager=True)
+    cfg = _sized_cuckoo_cfg(keys.count(), fingerprint_bits=16, hash_strategy="xx")
     # the shard table IS the filter — persist it like any long-lived index
     shards = build_sharded(keys, "key", num_shards=8, cfg=cfg).persist()
     return probe_sharded(keys, "key", shards, num_shards=8).select("key", "member")
@@ -483,7 +508,6 @@ def q_sharded_membership(spark, sf_dir):
 def q_sharded_delete(spark, sf_dir):
     """Distributed delete on the sharded filter (no driver-side key
     collection): kept keys remain exactly the anti-join set."""
-    from sketchlib import CuckooConfig
     from sketchlib.spark.shard import build_sharded, delete_sharded, probe_sharded
 
     li = _t(spark, sf_dir, "lineitem")
@@ -493,8 +517,9 @@ def q_sharded_delete(spark, sf_dir):
         .select(F.col("l_orderkey").cast("string").alias("key"))
         .distinct()
     )
+    keys = keys.localCheckpoint(eager=True)  # count + build + anti-join, one scan
     kept = keys.join(deleted, "key", "left_anti")
-    cfg = CuckooConfig(capacity=65536, fingerprint_bits=16, hash_strategy="xx")
+    cfg = _sized_cuckoo_cfg(keys.count(), fingerprint_bits=16, hash_strategy="xx")
     shards = build_sharded(keys, "key", num_shards=8, cfg=cfg)
     updated = delete_sharded(shards, deleted, "key", num_shards=8).persist()
     return probe_sharded(kept, "key", updated, num_shards=8).where("member").select("key")
@@ -1910,10 +1935,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # code path changed this round (cuckoo_*/bloom/cms via the
     # broadcast-cache fix, minhash/ngram via the df-caps, sharded_* via
     # the probe guards, warc_source, multimodal_*) sits INSIDE the
-    # first 50, as does the new multimodal_audio_real; hash_sample
-    # (untouched, driver-green r2+r3) rotated to the tail to make room.
-    # The tail holds only long-stable queries (two driver-green rounds,
-    # code untouched since).
+    # first 50, as does the new multimodal_audio_real. bloom_join_pruning
+    # is ALSO in-window: bloom_semi_join probes through membership_udf,
+    # whose worker-side cache was rewritten this round. hash_sample and
+    # token_count (both untouched this round, driver-green r2+r3)
+    # rotated to the tail to make room. The tail holds only long-stable
+    # queries (two driver-green rounds, code untouched since).
     return {
         "web_sketch_family": q_web_sketch_family,
         "cuckoo_membership": q_cuckoo_membership,
@@ -1949,7 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dedup_canonical": q_dedup_canonical,
         "ngram_jaccard": q_ngram_jaccard,
-        "token_count": q_token_count,
+        "bloom_join_pruning": q_bloom_join_pruning,
         "quality_score": q_quality_score,
         "top_tokens_per_source": q_top_tokens_per_source,
         "doc_split": q_doc_split,
@@ -1983,7 +2010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_counts": q_events_window_counts,
         "sql_interface": q_sql_interface,
         "hash_sample": q_hash_sample,
-        "bloom_join_pruning": q_bloom_join_pruning,
+        "token_count": q_token_count,
     }
 
 

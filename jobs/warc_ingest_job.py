@@ -59,7 +59,12 @@ def main() -> None:
     # separate pages.count() would re-parse every archive end-to-end
     # (decompress + record parse + text extraction) just for a metric
     obs = Observation("pages_in")
-    pages = read_warc(spark, args.input).observe(obs, F.count(F.lit(1)).alias("n"))
+    # driver-visible count of records dropped by the 64 MiB record cap
+    # (otherwise only an executor-log warning — undiagnosable in batch)
+    oversize = spark.sparkContext.accumulator(0)
+    pages = read_warc(spark, args.input, oversize_counter=oversize).observe(
+        obs, F.count(F.lit(1)).alias("n")
+    )
     # ONE shuffle end-to-end: scrub/tokens are scan-side projections;
     # min(struct) picks the winner per text digest with its metadata
     # attached, so no winners->corpus join-back (q_corpus_prepare shape)
@@ -108,6 +113,7 @@ def main() -> None:
         "docs_kept": n_kept,
         "dedup_and_quality_drop": n_pages - n_kept,
         "cuckoo_insert_failures": int(fails),
+        "oversize_records_skipped": int(oversize.value),
         "total_sec": round(total_sec, 2),
         "pages_per_sec": round(n_pages / total_sec) if total_sec else None,
         "shards": args.shards,

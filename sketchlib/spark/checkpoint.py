@@ -54,7 +54,22 @@ def materialize(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
     import uuid
 
     path = f"{checkpoint_dir.rstrip('/')}/mat-{uuid.uuid4().hex}"
-    df.write.mode("error").parquet(path)
+    try:
+        df.write.mode("error").parquet(path)
+    except BaseException:
+        # failed/aborted write: remove the partial dir (the caller gets
+        # no handle to it through the exception); best-effort — cleanup
+        # failure must not mask the original error
+        try:
+            jvm = df.sparkSession.sparkContext._jvm
+            conf = df.sparkSession.sparkContext._jsc.hadoopConfiguration()
+            p = jvm.org.apache.hadoop.fs.Path(path)
+            fs = p.getFileSystem(conf)
+            if fs.exists(p):
+                fs.delete(p, True)
+        except Exception:
+            pass
+        raise
     out = df.sparkSession.read.parquet(path)
     out._materialize_path = path
     return out

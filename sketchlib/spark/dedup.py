@@ -489,45 +489,68 @@ def connected_components(
     labels = vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
     labels = materialize(labels, checkpoint_dir)
     converged = False
-    for _ in range(max_iter):
-        prop = (
-            sym.join(labels, sym.src == labels.id)
-            .select(F.col("dst").alias("id"), "component")
-        )
-        stepped = (
-            labels.unionByName(prop)
-            .groupBy("id")
-            .agg(F.min("component").alias("component"))
-        )
-        # pointer jumping: component <- label(component) (labels cover
-        # every vertex and component values are vertex ids, so the
-        # lookup always hits; min() guards monotonicity)
-        lut = labels.select(
-            F.col("id").alias("component"), F.col("component").alias("cc")
-        )
-        prev = labels
-        labels = materialize(
-            stepped.join(lut, "component", "left").select(
-                "id", F.least("component", F.coalesce("cc", "component")).alias("component")
-            ),
-            checkpoint_dir,
-        )
-        changed = (
-            labels.alias("n")
-            .join(prev.alias("p"), "id")
-            .where(F.col("n.component") != F.col("p.component"))
-            .count()
-        )
-        # prev is fully consumed (this round's labels + the changed
-        # count): release its reliable-checkpoint files now so a
-        # checkpoint_dir run keeps at most two label-table copies on
-        # disk instead of one per round. The FINAL labels' files back
-        # the returned frame and stay (caller may drop_materialized
-        # after consuming the result).
-        drop_materialized(prev)
-        if changed == 0:  # labels monotone per vertex ⇒ true fixpoint
-            converged = True
-            break
+    prev = None
+    try:
+        for _ in range(max_iter):
+            prop = (
+                sym.join(labels, sym.src == labels.id)
+                .select(F.col("dst").alias("id"), "component")
+            )
+            stepped = (
+                labels.unionByName(prop)
+                .groupBy("id")
+                .agg(F.min("component").alias("component"))
+            )
+            # pointer jumping: component <- label(component) (labels cover
+            # every vertex and component values are vertex ids, so the
+            # lookup always hits; min() guards monotonicity)
+            lut = labels.select(
+                F.col("id").alias("component"), F.col("component").alias("cc")
+            )
+            prev = labels
+            labels = materialize(
+                stepped.join(lut, "component", "left").select(
+                    "id", F.least("component", F.coalesce("cc", "component")).alias("component")
+                ),
+                checkpoint_dir,
+            )
+            changed = (
+                labels.alias("n")
+                .join(prev.alias("p"), "id")
+                .where(F.col("n.component") != F.col("p.component"))
+                .count()
+            )
+            # prev is fully consumed (this round's labels + the changed
+            # count): release its reliable-checkpoint files now so a
+            # checkpoint_dir run keeps at most two label-table copies on
+            # disk instead of one per round. The FINAL labels' files back
+            # the returned frame and stay (caller may drop_materialized
+            # after consuming the result).
+            drop_materialized(prev)
+            prev = None
+            if changed == 0:  # labels monotone per vertex ⇒ true fixpoint
+                converged = True
+                break
+    except BaseException:
+        # mid-loop failure (failed write, aborted job, interrupt):
+        # nothing useful survives and the caller gets no handle through
+        # the exception — release the edge cache and any live
+        # reliable-checkpoint label dirs instead of leaking them on the
+        # checkpoint filesystem across repeated failed runs.
+        # drop_materialized is exists-guarded, so dropping an already-
+        # dropped frame is a no-op; cleanup failures must not mask the
+        # original error.
+        for frame in (prev, labels):
+            if frame is not None:
+                try:
+                    drop_materialized(frame)
+                except Exception:
+                    pass
+        try:
+            sym.unpersist()
+        except Exception:
+            pass
+        raise
     sym.unpersist()
     if not converged:
         # abandoning the computation: nothing useful survives, so the

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import time
 from collections.abc import Iterator
 
 import pandas as pd
@@ -93,6 +94,7 @@ def iter_warc_stream(
     stream,
     chunk_size: int = 4 << 20,
     max_record_bytes: int = DEFAULT_MAX_RECORD_BYTES,
+    on_oversize=None,
 ) -> Iterator[tuple[dict, bytes]]:
     """Yield (headers, payload) per WARC record from a readable byte
     stream, holding at most ``max(chunk_size, header window, one
@@ -163,6 +165,8 @@ def iter_warc_stream(
                 max_record_bytes,
                 headers.get("warc-target-uri"),
             )
+            if on_oversize is not None:
+                on_oversize(clen, headers.get("warc-target-uri"))
             del buf[:start]
             continue
         if not fill(start + clen):
@@ -267,10 +271,21 @@ def open_archive_stream(path: str, opener=None):
     # most one raw read, so a short first read would misclassify a
     # gzipped archive as plain and silently drop every record.
     head = b""
+    stalls = 0
     while len(head) < 2:
         chunk = raw.read(2 - len(head))
         if chunk is None:
-            continue  # would-block (non-blocking source): retry, not EOF
+            # would-block (non-blocking source): back off instead of
+            # busy-spinning a core, and give up on a dead source rather
+            # than hanging the task forever (~60 s worst case)
+            stalls += 1
+            if stalls > 600:
+                raise TimeoutError(
+                    f"stream for {path!r} produced no header bytes "
+                    "(would-block for >600 retries)"
+                )
+            time.sleep(0.1)
+            continue
         if not chunk:
             break  # b"" = genuine end-of-stream
         head += chunk
@@ -287,6 +302,7 @@ def read_warc(
     chunk_size: int = 4 << 20,
     max_record_bytes: int = DEFAULT_MAX_RECORD_BYTES,
     opener=None,
+    oversize_counter=None,
 ):
     """→ DataFrame(PAGES_SCHEMA) of every WARC *response* record under
     ``path`` (file, glob, or directory of .warc / .warc.gz).
@@ -296,7 +312,13 @@ def read_warc(
     streams and emits Arrow batches of ``records_per_batch`` pages, so
     per-task memory is bounded by the formula in the module header
     regardless of archive size — unlike a ``binaryFile`` content scan,
-    which materializes (and 2 GB-caps) whole files."""
+    which materializes (and 2 GB-caps) whole files.
+
+    ``max_record_bytes`` (default 64 MiB) SILENTLY SKIPS larger records
+    apart from an executor-side log line — the WARC spec has no payload
+    cap, so archives with legitimate huge records need this raised.
+    Pass ``oversize_counter=sc.accumulator(0)`` to get a driver-visible
+    skip count after the job (see jobs/warc_ingest_job.py)."""
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..textx import extract_text
@@ -316,7 +338,14 @@ def read_warc(
                 stream = open_archive_stream(p, opener)
                 try:
                     for headers, payload in iter_warc_stream(
-                        stream, chunk_size, max_record_bytes
+                        stream,
+                        chunk_size,
+                        max_record_bytes,
+                        on_oversize=(
+                            None
+                            if oversize_counter is None
+                            else lambda clen, uri: oversize_counter.add(1)
+                        ),
                     ):
                         if headers.get("warc-type") != "response":
                             continue  # warcinfo/request/metadata records
@@ -349,10 +378,11 @@ def read_warc(
     # window funnels all 10^7 paths through ONE sort task.
     files = spark.read.format("binaryFile").load(path).select("path")
     n_files = max(files.count(), 1)
-    indexed = (
-        files.rdd.map(lambda r: r.path)
-        .zipWithIndex()
-        .toDF(["path", "_i"])
+    # explicit schema: skips toDF's sample-based inference job AND keeps
+    # a zero-match glob a valid empty frame (inference raises on empty)
+    indexed = spark.createDataFrame(
+        files.rdd.map(lambda r: r.path).zipWithIndex(),
+        "path string, _i long",
     )
     return (
         indexed.repartitionByRange(n_files, "_i")

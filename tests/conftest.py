@@ -26,9 +26,12 @@ try:
     from hypothesis import settings as _hyp_settings
 
     _hyp_settings.register_profile("ci", derandomize=True)
-    # Opt-in randomized deep runs: HYPOTHESIS_PROFILE=stress for local
-    # counterexample hunting (the CI gate itself stays deterministic).
-    _hyp_settings.register_profile("stress", max_examples=2000)
+    # Opt-in randomized runs: HYPOTHESIS_PROFILE=stress lifts the
+    # derandomization so repeated runs explore fresh examples (pair
+    # with --hypothesis-seed=random and LOOP the suite — per-test
+    # @settings pin max_examples, so depth comes from repetition, not
+    # a profile-level example count, which those pins would override).
+    _hyp_settings.register_profile("stress", derandomize=False)
     _hyp_settings.load_profile(os.environ.get("HYPOTHESIS_PROFILE", "ci"))
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass

@@ -23,14 +23,17 @@ def test_registry_shape():
     # the driver's correctness artifact covers the FIRST 50 names —
     # every name whose code path changed in round 4 (plus the names the
     # round-2 artifact missed) must sit inside that window; hash_sample
-    # rotated to the tail in round 4 (untouched, driver-green r2+r3)
+    # and token_count rotated to the tail in round 4 (both untouched,
+    # driver-green r2+r3)
     first50 = list(qs)[:50]
     for name in (
         "ann_cosine_topk", "ann_lsh_recall", "ann_ivf_recall", "ann_index",
         "lsh_index", "simhash_buckets", "warc_source", "multimodal_decode",
-        "multimodal_audio_real", "streaming_sharded", "streaming_windowed",
+        "multimodal_audio_real", "multimodal_frame_sample",
+        "streaming_sharded", "streaming_windowed",
         "stratified_sample", "hll_set_ops", "kmv_set_ops", "source_similarity",
         "sharded_bloom_membership", "cuckoo_membership", "cuckoo_delete",
+        "cuckoo_count", "bloom_join_pruning",
         "cms_frequency_check", "minhash_identical", "minhash_near_dups",
         "ngram_jaccard", "dedup_components", "sharded_membership",
         "sharded_delete",

@@ -510,3 +510,99 @@ def test_ngram_cap_disabled_counts_hot_gram(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     (r,) = ngram_jaccard_pairs(df, n=3, threshold=0.5, max_gram_df=None).collect()
     assert (r.inter, r.na, r.nb) == (5, 5, 5)
+
+
+# -------------------------------------------- second review-pass fixes
+
+
+def test_read_warc_empty_dir_returns_empty_frame(spark, tmp_path):
+    """A glob/dir with zero archives must yield an empty pages frame,
+    not 'ValueError: RDD is empty' from toDF schema inference on the
+    empty zipWithIndex RDD (review finding; schema is now explicit)."""
+    from sketchlib.spark.warc import read_warc
+
+    empty = tmp_path / "no-archives"
+    empty.mkdir()
+    df = read_warc(spark, str(empty))
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["url", "warc_ts", "html", "text", "lang"]
+
+
+def test_iter_warc_stream_reports_oversize(tmp_path):
+    """Records over max_record_bytes are skipped AND counted through
+    on_oversize — the driver-visible signal for the 64 MiB default cap
+    (the WARC spec has no payload cap, so silent drops are
+    undiagnosable in batch jobs)."""
+    import io
+
+    from sketchlib.spark.warc import iter_warc_stream
+
+    def rec(uri: str, payload: bytes) -> bytes:
+        hdr = (
+            f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: {uri}\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode()
+        return hdr + payload + b"\r\n\r\n"
+
+    blob = rec("http://a", b"x" * 10) + rec("http://big", b"y" * 2000) + rec("http://b", b"z" * 10)
+    seen = []
+    out = list(
+        iter_warc_stream(
+            io.BytesIO(blob),
+            max_record_bytes=1000,
+            on_oversize=lambda clen, uri: seen.append((clen, uri)),
+        )
+    )
+    assert [h.get("warc-target-uri") for h, _ in out] == ["http://a", "http://b"]
+    assert seen == [(2000, "http://big")]
+
+
+def test_cc_failure_cleans_checkpoint_dir(spark, tmp_path):
+    """A mid-loop failure (here: an edge frame that raises on
+    evaluation) must not orphan mat-* label dirs in checkpoint_dir or
+    leave the edge frame cached (review finding: cleanup previously
+    happened only on the happy and max_iter-exhausted paths)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.dedup import connected_components
+
+    cp = tmp_path / "cc"
+    vertices = spark.createDataFrame([(str(i),) for i in range(4)], "doc_id string")
+    pairs = spark.createDataFrame([("a", "b")], "id_a string, id_b string").select(
+        F.raise_error(F.lit("boom")).alias("id_a"), "id_b"
+    )
+    with pytest.raises(Exception, match="boom"):
+        connected_components(pairs, vertices, max_iter=3, checkpoint_dir=str(cp))
+    leftover = [d for d in os.listdir(cp)] if cp.exists() else []
+    assert leftover == []
+
+
+def test_sized_cuckoo_cfg_scales_past_fixed_capacity():
+    """_sized_cuckoo_cfg sizes capacity to the keyset: a keyset larger
+    than the old fixed 65536 (sf0.1 lineitem has ~150k orderkeys —
+    the exact saturation that silently lost ~55% of deleted-probe rows
+    at sf0.1) gets ≥15% headroom instead of silent insert failures."""
+    import __spark_entry__ as entry_mod
+
+    small = entry_mod._sized_cuckoo_cfg(10_000, fingerprint_bits=16, hash_strategy="xx")
+    assert small.capacity == 65536  # floor keeps sf0.001/0.01 geometry
+    big = entry_mod._sized_cuckoo_cfg(150_000, fingerprint_bits=16, hash_strategy="xx")
+    assert big.capacity >= int(150_000 / 0.95)
+
+
+def test_frame_sampled_filter_fits_sized_capacity(spark):
+    """End-to-end saturation regression at the exact failing shape:
+    keys >> 65536 insert into a sized filter with zero failures and no
+    false negatives on a probe of every key."""
+    from sketchlib import CuckooFilter
+    from sketchlib.spark import build_sketches, tree_merge
+
+    import __spark_entry__ as entry_mod
+
+    keys = spark.range(150_000).selectExpr("CAST(id AS STRING) AS key")
+    cfg = entry_mod._sized_cuckoo_cfg(150_000, fingerprint_bits=16, hash_strategy="xx")
+    merged = tree_merge(build_sketches(keys, "key", lambda: CuckooFilter(cfg)))
+    assert merged.insert_failures == 0
+    assert merged.count() == 150_000

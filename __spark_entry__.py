@@ -482,6 +482,9 @@ def q_bloom_membership(spark, sf_dir):
     keys = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").cast("string").alias("key")
     ).distinct()
+    # fixed Bloom capacity is saturation-SAFE (unlike the cuckoo's
+    # _sized_cuckoo_cfg queries): over-capacity only raises FPR, never
+    # produces false negatives, so probing the inserted set stays exact
     merged = tree_merge(
         build_sketches(
             keys, "key", lambda: BloomFilter(capacity=200000, fp_rate=0.001)
@@ -1007,6 +1010,8 @@ def q_streaming_sharded(spark, sf_dir):
     # two staged files + maxFilesPerTrigger=1 ⇒ two micro-batches, so
     # the per-shard delta merge runs across batches, not just once
     in_dir = _stage_event_halves(ev, tmp)
+    # fixed geometry is safe here: distinct user_ids are 1.5k at sf0.1
+    # (~15k at sf1), far under 65536×0.95 across 8 shards
     cfg = CuckooConfig(capacity=65536, fingerprint_bits=16, hash_strategy="xx")
     builder = ShardedStreamBuilder("key", num_shards=8, state_dir=f"{tmp}/state", cfg=cfg)
 
@@ -1625,6 +1630,8 @@ def q_sharded_bloom_membership(spark, sf_dir):
         keys,
         "key",
         num_shards=8,
+        # Bloom saturation only raises FPR (no false negatives) — fixed
+        # per-shard capacity cannot lose inserted keys at any sf
         factory=lambda: BloomFilter(capacity=65536, fp_rate=0.001),
     ).persist()
     return probe_sharded(keys, "key", shards, num_shards=8).where("member").select("key")

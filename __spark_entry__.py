@@ -210,6 +210,7 @@ def q_cuckoo_membership(spark, sf_dir):
     # filter to the keyset — see _sized_cuckoo_cfg for why never fixed
     cfg = _sized_cuckoo_cfg(keys.count(), fingerprint_bits=16, hash_strategy="xx")
     merged = tree_merge(build_sketches(keys, "key", lambda: CuckooFilter(cfg)))
+    assert merged.insert_failures == 0  # lineage-total: loud if sizing regresses
     member = membership_udf(spark, merged)
     return keys.withColumn("m", member("key")).where("m").select("key")
 
@@ -505,6 +506,8 @@ def q_sharded_membership(spark, sf_dir):
     cfg = _sized_cuckoo_cfg(keys.count(), fingerprint_bits=16, hash_strategy="xx")
     # the shard table IS the filter — persist it like any long-lived index
     shards = build_sharded(keys, "key", num_shards=8, cfg=cfg).persist()
+    # loud saturation guard (8 cached rows — the agg is metadata-cheap)
+    assert (shards.agg(F.sum("fail_count")).first()[0] or 0) == 0
     return probe_sharded(keys, "key", shards, num_shards=8).select("key", "member")
 
 
@@ -525,6 +528,9 @@ def q_sharded_delete(spark, sf_dir):
     cfg = _sized_cuckoo_cfg(keys.count(), fingerprint_bits=16, hash_strategy="xx")
     shards = build_sharded(keys, "key", num_shards=8, cfg=cfg)
     updated = delete_sharded(shards, deleted, "key", num_shards=8).persist()
+    # fail_count rides the shard rows through delete_sharded (serde keeps
+    # the lineage-total counter), so this covers build-time saturation too
+    assert (updated.agg(F.sum("fail_count")).first()[0] or 0) == 0
     return probe_sharded(kept, "key", updated, num_shards=8).where("member").select("key")
 
 

@@ -60,7 +60,9 @@ def main() -> None:
     # (decompress + record parse + text extraction) just for a metric
     obs = Observation("pages_in")
     # driver-visible count of records dropped by the 64 MiB record cap
-    # (otherwise only an executor-log warning — undiagnosable in batch)
+    # (otherwise only an executor-log warning — undiagnosable in batch).
+    # At-least-once under task retries/speculation (transformation-side
+    # accumulator): treat as zero-or-not, not an exact tally
     oversize = spark.sparkContext.accumulator(0)
     pages = read_warc(spark, args.input, oversize_counter=oversize).observe(
         obs, F.count(F.lit(1)).alias("n")

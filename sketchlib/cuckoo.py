@@ -325,12 +325,20 @@ class CuckooFilter:
         Every stored (bucket, fp) pair of ``other`` is re-placed here;
         the pair's two legal homes are {bucket, alt(bucket, fp)} by the
         self-inverse alternate-index property, so no information about
-        original items is needed. Overflow increments
-        ``insert_failures`` (explicit accounting, SURVEY.md §7)."""
+        original items is needed. Failure accounting is LINEAGE-TOTAL:
+        ``other``'s own ``insert_failures`` are absorbed (those items
+        are lost forever — a merged filter must not report 0 failures
+        while missing keys a part already dropped) and merge-time
+        overflow adds on top, so after any merge tree the root's
+        ``insert_failures`` equals every item ever offered minus every
+        item stored (explicit accounting, SURVEY.md §7; serde
+        round-trips the counter, so this holds across tree_merge's
+        serialized parts)."""
         if self.config.geometry_key() != other.config.geometry_key():
             raise GeometryMismatchError(
                 f"{self.config.geometry_key()} vs {other.config.geometry_key()}"
             )
+        self.insert_failures += other.insert_failures
         rows, cols = np.nonzero(other.table)
         if len(rows):
             fps = other.table[rows, cols]

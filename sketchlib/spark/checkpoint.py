@@ -20,6 +20,17 @@ import time
 from pyspark.sql import DataFrame
 
 
+def _delete_fs_path(session, path: str) -> None:
+    """Recursively delete ``path`` through the Hadoop FileSystem API
+    (hdfs://-capable, exists-guarded no-op)."""
+    jvm = session.sparkContext._jvm
+    conf = session.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
 def materialize(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
     """Eagerly materialize an intermediate result, truncating lineage.
 
@@ -61,12 +72,7 @@ def materialize(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
         # no handle to it through the exception); best-effort — cleanup
         # failure must not mask the original error
         try:
-            jvm = df.sparkSession.sparkContext._jvm
-            conf = df.sparkSession.sparkContext._jsc.hadoopConfiguration()
-            p = jvm.org.apache.hadoop.fs.Path(path)
-            fs = p.getFileSystem(conf)
-            if fs.exists(p):
-                fs.delete(p, True)
+            _delete_fs_path(df.sparkSession, path)
         except Exception:
             pass
         raise
@@ -93,12 +99,7 @@ def drop_materialized(df: DataFrame) -> None:
     path = getattr(df, "_materialize_path", None)
     if path is None:
         return
-    jvm = df.sparkSession.sparkContext._jvm
-    conf = df.sparkSession.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(conf)
-    if fs.exists(p):
-        fs.delete(p, True)
+    _delete_fs_path(df.sparkSession, path)
 
 
 def lineage_manifest(checkpoint_dir: str) -> dict:

@@ -110,11 +110,27 @@ def iter_warc_stream(
     end mid-write."""
     buf = bytearray()
     eof = False
+    stalls = 0
 
     def fill(need: int) -> bool:
-        nonlocal eof
+        nonlocal eof, stalls
         while len(buf) < need and not eof:
             chunk = stream.read(chunk_size)
+            if chunk is None:
+                # would-block (non-blocking source mid-archive): ONLY
+                # b"" is end-of-stream — treating None as EOF would
+                # silently truncate a plain archive at the first stall.
+                # Back off instead of busy-spinning; give up on a dead
+                # source (~60 s) rather than hanging the task forever.
+                stalls += 1
+                if stalls > 600:
+                    raise TimeoutError(
+                        "stream produced no data mid-record "
+                        "(would-block for >600 retries)"
+                    )
+                time.sleep(0.1)
+                continue
+            stalls = 0
             if not chunk:
                 eof = True
             else:
@@ -318,7 +334,11 @@ def read_warc(
     apart from an executor-side log line — the WARC spec has no payload
     cap, so archives with legitimate huge records need this raised.
     Pass ``oversize_counter=sc.accumulator(0)`` to get a driver-visible
-    skip count after the job (see jobs/warc_ingest_job.py)."""
+    skip count after the job (see jobs/warc_ingest_job.py). Accumulator
+    updates inside a transformation are AT-LEAST-ONCE under task
+    retries/speculation, so read the count as "zero or not" (exactness
+    matters only when nonzero, where the fix — raising
+    ``max_record_bytes`` — is the same at any count)."""
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..textx import extract_text

@@ -66,11 +66,10 @@ def test_cuckoo_split_build_no_false_negatives(keys, splits):
     # A b=4 filter stores at most 2*b = 8 copies of one fingerprint (its two
     # legal buckets); extra duplicate copies fail silently, matching the
     # reference's insert-exhaustion semantics (internal/filter/filter.go:51-107).
-    # So the multiset count is len(keys) minus every recorded failure: the
-    # parts' own build failures plus overflow during the merges (merge adds
-    # its overflow to the destination, i.e. parts[0] == merged).
-    total_failures = merged.insert_failures + sum(p.insert_failures for p in parts[1:])
-    assert merged.count() == len(keys) - total_failures
+    # merge() accounting is lineage-total (absorbs each part's own build
+    # failures AND adds merge-time overflow), so the root's counter alone
+    # closes the multiset balance.
+    assert merged.count() == len(keys) - merged.insert_failures
 
 
 def test_cuckoo_duplicate_saturation_regression():
@@ -85,9 +84,9 @@ def test_cuckoo_duplicate_saturation_regression():
         parts[i % 2].insert(k)
     merged = parts[0].merge(parts[1])
     assert merged.lookup_batch(keys).all()
-    total_failures = merged.insert_failures + parts[1].insert_failures
-    assert total_failures == 1
-    assert merged.count() == 8 == len(keys) - total_failures
+    # lineage-total accounting: the merged counter alone records the loss
+    assert merged.insert_failures == 1
+    assert merged.count() == 8 == len(keys) - merged.insert_failures
 
 
 @settings(max_examples=15, deadline=None)

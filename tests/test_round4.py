@@ -606,3 +606,37 @@ def test_frame_sampled_filter_fits_sized_capacity(spark):
     merged = tree_merge(build_sketches(keys, "key", lambda: CuckooFilter(cfg)))
     assert merged.insert_failures == 0
     assert merged.count() == 150_000
+
+
+def test_iter_warc_stream_survives_midstream_would_block():
+    """A non-blocking source returning None mid-archive must NOT be
+    treated as end-of-stream (that silently truncated plain archives at
+    the first stall) — only b'' ends parsing."""
+    import io
+
+    from sketchlib.spark.warc import iter_warc_stream
+
+    def rec(uri: str, payload: bytes) -> bytes:
+        hdr = (
+            f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: {uri}\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode()
+        return hdr + payload + b"\r\n\r\n"
+
+    blob = b"".join(rec(f"http://{i}", bytes([65 + i]) * 50) for i in range(5))
+
+    class Stalling:
+        """Returns None on every other read call, tiny real chunks between."""
+
+        def __init__(self, data: bytes):
+            self._inner = io.BytesIO(data)
+            self._calls = 0
+
+        def read(self, n: int):
+            self._calls += 1
+            if self._calls % 2:
+                return None
+            return self._inner.read(min(n, 7))
+
+    out = list(iter_warc_stream(Stalling(blob), chunk_size=7))
+    assert [h.get("warc-target-uri") for h, _ in out] == [f"http://{i}" for i in range(5)]

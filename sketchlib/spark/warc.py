@@ -224,7 +224,15 @@ class _HeaderReplayStream(io.RawIOBase):
     """Replays sniffed header bytes, then delegates to the inner
     stream — lets the magic bytes be consumed for sniffing without
     requiring ``seek`` (object-store streams are often forward-only)
-    and without ``peek``'s at-most-one-raw-read weakness."""
+    and without ``peek``'s at-most-one-raw-read weakness.
+
+    Would-block (``None``) results from a non-blocking inner stream
+    are ABSORBED here with backoff + timeout rather than propagated:
+    the downstream consumers (``io.BufferedReader`` and above it
+    ``gzip.GzipFile``, which crashes outright on a ``None`` read) run
+    inside a Spark task where blocking-until-data is the only useful
+    semantic. Collapsing ``None`` to 0 instead would silently truncate
+    the archive at the first stall."""
 
     def __init__(self, head: bytes, inner):
         self._head = memoryview(bytes(head))
@@ -239,19 +247,26 @@ class _HeaderReplayStream(io.RawIOBase):
             b[:n] = self._head[:n]
             self._head = self._head[n:]
             return n
-        if hasattr(self._inner, "readinto"):
-            # propagate None verbatim: RawIOBase contract is None =
-            # "no data available yet" (non-blocking), 0 = EOF —
-            # collapsing None to 0 would truncate the archive at the
-            # first would-block moment
-            return self._inner.readinto(b)
-        data = self._inner.read(len(b))
-        if data is None:
-            return None  # would-block, NOT end-of-stream
-        if not data:
-            return 0
-        b[: len(data)] = data
-        return len(data)
+        stalls = 0
+        while True:
+            if hasattr(self._inner, "readinto"):
+                got = self._inner.readinto(b)
+                if got is not None:
+                    return got  # 0 = genuine EOF
+            else:
+                data = self._inner.read(len(b))
+                if data is not None:
+                    if not data:
+                        return 0
+                    b[: len(data)] = data
+                    return len(data)
+            # would-block: back off; give up on a dead source (~60 s)
+            stalls += 1
+            if stalls > 600:
+                raise TimeoutError(
+                    "stream produced no data (would-block for >600 retries)"
+                )
+            time.sleep(0.1)
 
     def close(self) -> None:
         try:

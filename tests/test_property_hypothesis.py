@@ -156,16 +156,27 @@ def test_delete_batch_equals_sequential(keys, dels):
 
 def test_merge_overflow_accounting():
     """Merging two filters that jointly exceed capacity: failures are
-    counted and count() stays consistent (count = successes only)."""
+    counted and count() stays consistent (count = successes only).
+    Accounting is lineage-total — merge absorbs b's own build failures
+    and adds merge-time overflow — so the invariant is written against
+    the root counter, with b deliberately overfilled (70 > 64) so its
+    build failures are nonzero and the absorption is actually
+    exercised."""
     cfg = CuckooConfig(capacity=64, bucket_size=4, fingerprint_bits=16)
     a, b = CuckooFilter(cfg), CuckooFilter(cfg)
     a.insert_batch([f"a{i}" for i in range(60)])
-    b.insert_batch([f"b{i}" for i in range(60)])
+    b.insert_batch([f"b{i}" for i in range(70)])
+    assert b.insert_failures > 0  # the absorption case, not vacuous
     na, nb = a.count(), b.count()
-    pre_fail = a.insert_failures
+    pre_fail = a.insert_failures + b.insert_failures
     a.merge(b)
-    new_failures = a.insert_failures - pre_fail  # failures during merge
-    assert a.count() == na + nb - new_failures
+    merge_overflow = a.insert_failures - pre_fail  # merge-time only
+    assert merge_overflow >= 0
+    # stored multiset balance: what both parts actually held, minus
+    # what the merge could not re-place
+    assert a.count() == na + nb - merge_overflow
+    # lineage-total: offered (60 + 70) minus stored == root counter
+    assert a.insert_failures == 130 - a.count()
     assert a.count() <= cfg.slot_capacity
 
 

@@ -608,13 +608,17 @@ def test_frame_sampled_filter_fits_sized_capacity(spark):
     assert merged.count() == 150_000
 
 
-def test_iter_warc_stream_survives_midstream_would_block():
+def test_iter_warc_stream_survives_midstream_would_block(monkeypatch):
     """A non-blocking source returning None mid-archive must NOT be
     treated as end-of-stream (that silently truncated plain archives at
-    the first stall) — only b'' ends parsing."""
+    the first stall) — only b'' ends parsing. Backoff sleeps are
+    no-op'd: the coverage is the retry logic, not the wall-clock."""
     import io
 
+    import sketchlib.spark.warc as warcmod
     from sketchlib.spark.warc import iter_warc_stream
+
+    monkeypatch.setattr(warcmod.time, "sleep", lambda _s: None)
 
     def rec(uri: str, payload: bytes) -> bytes:
         hdr = (
@@ -640,3 +644,45 @@ def test_iter_warc_stream_survives_midstream_would_block():
 
     out = list(iter_warc_stream(Stalling(blob), chunk_size=7))
     assert [h.get("warc-target-uri") for h, _ in out] == [f"http://{i}" for i in range(5)]
+
+
+def test_open_archive_stream_gzip_survives_would_block(monkeypatch):
+    """The dominant .warc.gz path: gzip.GzipFile crashes outright if a
+    read ever yields None, so _HeaderReplayStream must ABSORB
+    would-block below the gzip layer (backoff, never propagate).
+    Regression for the stall-crash on non-blocking object-store
+    sources; plain archives exercised through the same wrapper too."""
+    import gzip as _gzip
+    import io
+
+    import sketchlib.spark.warc as warcmod
+    from sketchlib.datagen import warc_bytes
+    from sketchlib.spark.warc import iter_warc_stream, open_archive_stream
+
+    monkeypatch.setattr(warcmod.time, "sleep", lambda _s: None)
+    blob = warc_bytes(5, seed=7)
+
+    class StallingRaw(io.RawIOBase):
+        def __init__(self, data: bytes):
+            self._b = io.BytesIO(data)
+            self._calls = 0
+
+        def readable(self):
+            return True
+
+        def seekable(self):
+            return False
+
+        def readinto(self, b):
+            self._calls += 1
+            if self._calls % 2:
+                return None  # would-block
+            view = memoryview(b)[: min(len(b), 1024)]
+            return self._b.readinto(view)
+
+    for data in (blob, _gzip.compress(blob)):
+        stream = open_archive_stream(
+            "s3://bucket/x.warc", opener=lambda p, d=data: StallingRaw(d)
+        )
+        recs = list(iter_warc_stream(stream))
+        assert len(recs) == 6  # warcinfo + 5 responses

@@ -1950,15 +1950,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the probe guards, warc_source, multimodal_*) sits INSIDE the
     # first 50, as does the new multimodal_audio_real. bloom_join_pruning
     # is ALSO in-window: bloom_semi_join probes through membership_udf,
-    # whose worker-side cache was rewritten this round. hash_sample and
-    # token_count (both untouched this round, driver-green r2+r3)
-    # rotated to the tail to make room. The tail holds only long-stable
-    # queries (two driver-green rounds, code untouched since).
+    # whose worker-side cache was rewritten this round. Late-round-4
+    # review pass touched text.py (token_count/word_token_count null
+    # coalesce, hash_split 1.0-boundary, ngram short-text) and
+    # sampling.py (null-id exclusion), so token_count, word_token_count
+    # and hash_sample rotate back INTO the window; hash_indices_contract,
+    # hll_distinct_check and streaming_incremental (code untouched all
+    # round, driver-green r1/r2/r3 resp. r2+r3) rotate to the tail to
+    # make room. The tail holds only long-stable queries (two
+    # driver-green rounds, code untouched since).
     return {
         "web_sketch_family": q_web_sketch_family,
         "cuckoo_membership": q_cuckoo_membership,
         "cuckoo_lifecycle": q_cuckoo_lifecycle,
-        "hash_indices_contract": q_hash_indices_contract,
+        "token_count": q_token_count,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_knn": q_embedding_knn,
         "embedding_knn_recall": q_embedding_knn_recall,
@@ -1967,7 +1972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": q_bloom_membership,
         "sharded_membership": q_sharded_membership,
         "sharded_delete": q_sharded_delete,
-        "hll_distinct_check": q_hll_distinct_check,
+        "hash_sample": q_hash_sample,
         "cms_frequency_check": q_cms_frequency_check,
         "quantile_sketches_check": q_quantile_sketches_check,
         "heavy_hitters": q_heavy_hitters,
@@ -1978,7 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_set_ops": q_kmv_set_ops,
         "source_similarity": q_source_similarity,
         "sharded_bloom_membership": q_sharded_bloom_membership,
-        "streaming_incremental": q_streaming_incremental,
+        "word_token_count": q_word_token_count,
         "streaming_stateful": q_streaming_stateful,
         "streaming_sharded": q_streaming_sharded,
         "streaming_windowed": q_streaming_windowed,
@@ -2007,7 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         # ---- tail: stable since round 1, driver rows green twice ----
         "lang_id": q_lang_id,
-        "word_token_count": q_word_token_count,
+        "hash_indices_contract": q_hash_indices_contract,
         "per_source_distinct": q_per_source_distinct,
         "top_tokens": q_top_tokens,
         "grouped_quantiles": q_grouped_quantiles,
@@ -2022,8 +2027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customer_per_nation": q_top_customer_per_nation,
         "events_window_counts": q_events_window_counts,
         "sql_interface": q_sql_interface,
-        "hash_sample": q_hash_sample,
-        "token_count": q_token_count,
+        "hll_distinct_check": q_hll_distinct_check,
+        "streaming_incremental": q_streaming_incremental,
     }
 
 
@@ -2216,11 +2221,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1"
         ),
         "hash_sample": (
-            "SELECT doc_id FROM documents "
+            # IS NOT NULL mirrors hash_sample's null-id exclusion
+            # (md5(NULL) sorts nulls-first in Spark, nulls-last here —
+            # the filter is what keeps both engines exact)
+            "SELECT doc_id FROM documents WHERE doc_id IS NOT NULL "
             "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100"
         ),
         "stratified_sample": (
             "SELECT CAST(source AS VARCHAR) AS source, doc_id FROM documents "
+            "WHERE doc_id IS NOT NULL "
             "QUALIFY row_number() OVER (PARTITION BY source "
             "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5"
         ),
@@ -2319,7 +2328,7 @@ def oracle_sql() -> dict[str, str]:
             f"{DERIVED_DOCS_CTE}, words AS ("
             "SELECT doc_id, string_split(text, ' ') AS w FROM derived), "
             "grams0 AS (SELECT DISTINCT doc_id, gram FROM ("
-            "SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 2)), "
+            "SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 1)), "
             "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS gram FROM words)), "
             # mirror of max_gram_df=10000 in ngram_jaccard_pairs: hot grams
             # leave the gram universe before sizes AND the self-join
@@ -2355,7 +2364,7 @@ def oracle_sql() -> dict[str, str]:
             "'<EMAIL>', 'g'), '\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g') AS text FROM derived), "
             "deduped AS (SELECT MIN(doc_id) AS doc_id, text FROM scrubbed GROUP BY text), "
             "grams AS (SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tok, "
-            "list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 2)), "
+            "list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 1)), "
             "i -> concat_ws(' ', string_split(text, ' ')[i], string_split(text, ' ')[i+1], "
             "string_split(text, ' ')[i+2])) AS g FROM deduped) "
             "SELECT doc_id, n_tok AS n_tokens, "
@@ -2387,7 +2396,11 @@ def oracle_sql() -> dict[str, str]:
         "repetition_ratio": (
             f"{DERIVED_DOCS_CTE}, words AS ("
             "SELECT doc_id, string_split(text, ' ') AS w FROM derived), "
-            "grams AS (SELECT doc_id, list_transform(range(1, greatest(len(w) - 1, 2)), "
+            # range(1, greatest(len-1, 1)) yields max(len-2, 0) gram
+            # starts: EMPTY for <3-word docs (mirrors the Spark-side
+            # zero-grams-for-short-text fix; the old floor of 2 forced
+            # one bogus short gram)
+            "grams AS (SELECT doc_id, list_transform(range(1, greatest(len(w) - 1, 1)), "
             "i -> concat_ws(' ', w[i], w[i+1], w[i+2])) AS g FROM words) "
             "SELECT doc_id, len(g) AS total_grams, "
             "len(list_distinct(g)) AS distinct_grams FROM grams"

@@ -92,7 +92,8 @@ class KLLSketch(MergeableSketch):
         return v[order], w[order]
 
     def quantile(self, q) -> np.ndarray:
-        """Approximate quantile(s) for q in [0,1]."""
+        """Approximate quantile(s) for q in [0,1]. Always returns an
+        ndarray — shape (1,) for scalar q (callers index [0])."""
         qs = np.atleast_1d(np.asarray(q, np.float64))
         v, w = self._weighted_items()
         if v.size == 0:
@@ -101,8 +102,7 @@ class KLLSketch(MergeableSketch):
         targets = qs * w.sum()
         idx = np.searchsorted(cum, targets)
         idx = np.clip(idx, 0, len(v) - 1)
-        out = v[idx]
-        return out if np.ndim(q) else out  # vector in, vector out
+        return v[idx]
 
     def rank(self, x) -> np.ndarray:
         """Approximate rank (#items ≤ x)."""

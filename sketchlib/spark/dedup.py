@@ -618,21 +618,22 @@ def ngram_jaccard_pairs(
     the integer columns make the result exactly comparable across
     engines (jaccard itself is their IEEE-double ratio).
     """
+    # docs with fewer than n words have NO grams (explode of the empty
+    # array drops them — they can't pair with anything, instead of the
+    # one truncated bogus "gram" an unconditional sequence would emit,
+    # which made unrelated short docs spurious jaccard=1.0 candidates)
+    words = F.split(F.col(text_col), " ")
+    gram_idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)
+    ).otherwise(F.array().cast("array<int>"))
     grams = (
         df.select(
             id_col,
             F.explode(
                 F.array_distinct(
                     F.transform(
-                        F.sequence(
-                            F.lit(0),
-                            F.greatest(
-                                F.size(F.split(F.col(text_col), " ")) - n, F.lit(0)
-                            ),
-                        ),
-                        lambda i: F.concat_ws(
-                            " ", F.slice(F.split(F.col(text_col), " "), i + 1, n)
-                        ),
+                        gram_idx,
+                        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
                     )
                 )
             ).alias("gram"),

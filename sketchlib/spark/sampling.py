@@ -30,8 +30,18 @@ def hash_sample(df: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
     """Deterministic uniform k-sample: bottom-k rows by md5(id).
 
     Plan shape: TakeOrderedAndProject (per-partition heap + tree
-    merge) — asserted in tests; never a full sort or shuffle."""
-    return df.orderBy(_hash_key(id_col), F.col(id_col)).limit(k)
+    merge) — asserted in tests; never a full sort or shuffle.
+
+    NULL ids are excluded: md5(NULL) is NULL, which Spark's default
+    nulls-first ascending sort would rank BEFORE every real hash —
+    any null contingent would deterministically monopolize the sample
+    (and DuckDB sorts nulls last, so the oracle would diverge too).
+    A null id has no position in the keyspace being sampled."""
+    return (
+        df.where(F.col(id_col).isNotNull())
+        .orderBy(_hash_key(id_col), F.col(id_col))
+        .limit(k)
+    )
 
 
 def stratified_hash_sample(
@@ -41,12 +51,14 @@ def stratified_hash_sample(
     each group. One hash shuffle on ``group_col``, then a per-group
     sort — the standard window shape; a pathologically hot group sorts
     on one task (same skew story as any per-group window; salt the
-    group upstream if one group is data-scale)."""
+    group upstream if one group is data-scale). NULL ids are excluded
+    for the same nulls-first reason as hash_sample."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(group_col).orderBy(_hash_key(id_col), F.col(id_col))
     return (
-        df.withColumn("_rk", F.row_number().over(w))
+        df.where(F.col(id_col).isNotNull())
+        .withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= k_per_group)
         .drop("_rk")
     )

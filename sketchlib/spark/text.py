@@ -23,25 +23,36 @@ LANG_MARKERS = {
 
 def token_count(col) -> Column:
     """Whitespace token count = number of non-whitespace runs (\\S+),
-    exactly Python's str.split() semantics; empty/all-space text -> 0.
+    exactly Python's str.split() semantics; empty/all-space/NULL
+    text -> 0. NULL must be coalesced away BEFORE F.size: size(NULL
+    array) is -1 under Spark's default sizeOfNull, which would leak a
+    nonsense -1 into every downstream filter/aggregate (the DuckDB
+    oracle already computes 0 for NULL).
     (F.trim strips ASCII spaces only, so split-based counting miscounts
     texts ending in \\n/\\t — regexp_extract_all avoids that.)"""
     c = F.col(col) if isinstance(col, str) else col
+    c = F.coalesce(c, F.lit(""))
     return F.size(F.regexp_extract_all(c, F.lit(r"(\S+)"), 1))
 
 
 def word_token_count(col) -> Column:
-    """BPE-ish subword proxy: count of r'\\w+|[^\\w\\s]' matches."""
+    """BPE-ish subword proxy: count of r'\\w+|[^\\w\\s]' matches.
+    NULL text -> 0 (same sizeOfNull=-1 hazard as token_count)."""
     c = F.col(col) if isinstance(col, str) else col
+    c = F.coalesce(c, F.lit(""))
     return F.size(F.regexp_extract_all(c, F.lit(r"(\w+|[^\w\s])"), 0))
 
 
 def lang_id(col) -> Column:
     """Deterministic stopword-vote language heuristic (en/de/fr/es/und).
 
-    Votes = occurrences of each language's marker words as whole
-    tokens; ties and zero votes → 'und'. Simple enough to express
-    identically in ANSI SQL for the exact oracle.
+    Votes = non-overlapping occurrences of each language's marker
+    words as whole tokens, counted via split-on-" w " (adjacent
+    repeats like "the the the" count 2, not 3 — the shared delimiter
+    space is consumed; deliberate, because the identical string_split
+    expression runs in any SQL engine, keeping the oracle exact).
+    Zero votes → 'und'; positive-vote ties resolve by fixed priority
+    en > de > fr > es (mirrored in the oracle's CASE order).
     """
     c = F.col(col) if isinstance(col, str) else col
     padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
@@ -64,9 +75,12 @@ def lang_id(col) -> Column:
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds integer/ratio quality features: chars, tokens, mean token
-    length, punctuation count, stopword count."""
-    c = F.col(text_col)
-    toks = token_count(text_col)
+    length, punctuation count, stopword count (non-overlapping
+    split-on-" w " counting — see lang_id for the adjacent-repeat
+    caveat and why it's deliberate). NULL text scores as empty text
+    (all-zero features), matching the SQL oracle's coalesce."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    toks = token_count(c)
     stop = F.lit(0)
     padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
     for w in ("the", "and", "of", "to", "in", "a", "is"):
@@ -125,10 +139,34 @@ def hash_split(
     row-count-gap proof, and reproducible across ENGINES (md5 of the
     stringified key; fixed-width lowercase hex compares identically
     lexicographically and numerically, so the same expression runs in
-    Spark and any SQL engine with md5). Pure JVM expression — no UDF."""
+    Spark and any SQL engine with md5). Pure JVM expression — no UDF.
+
+    Fractions are truncated to 1/16^hex_digits granularity. A boundary
+    that reaches 1.0 (train=1.0, or train+val=1.0 — the common
+    no-test-split case) must NOT be hex-formatted: format() does not
+    truncate, so int(1.0*scale) renders 5 chars ('10000') and the
+    lexicographic compare against 4-char hashes silently misroutes
+    ~94% of the bucket (e.g. 'dddd' < '10000' is False). Such a
+    boundary is clamped to a sentinel above every hex string instead.
+    """
+    if not (0.0 <= train and 0.0 <= val and train + val <= 1.0 + 1e-9):
+        raise ValueError(
+            f"invalid split fractions train={train} val={val}: need "
+            "train >= 0, val >= 0, train + val <= 1"
+        )
     scale = 16**hex_digits
-    t_hex = format(int(train * scale), f"0{hex_digits}x")
-    v_hex = format(int((train + val) * scale), f"0{hex_digits}x")
+
+    def bound(x: float) -> str:
+        v = int(x * scale)
+        if v >= scale:
+            # 'g' sorts after every lowercase-hex string of any length,
+            # so `hx < 'g'` is True for all hashes: the bucket absorbs
+            # everything left, exactly what a 1.0 boundary means.
+            return "g"
+        return format(v, f"0{hex_digits}x")
+
+    t_hex = bound(train)
+    v_hex = bound(train + val)
     hx = F.substring(F.md5(F.col(key_col).cast("string")), 1, hex_digits)
     return (
         F.when(hx < t_hex, "train").when(hx < v_hex, "val").otherwise("test")
@@ -138,13 +176,21 @@ def hash_split(
 def ngram_repetition_cols(text_col: str = "text", n: int = 3) -> tuple[Column, Column]:
     """(total_ngrams, distinct_ngrams) over word n-grams — the
     repetition-ratio quality signal (1 - distinct/total) that catches
-    boilerplate/looping text. Pure JVM higher-order functions."""
-    c = F.col(text_col)
+    boilerplate/looping text. Pure JVM higher-order functions.
+
+    A text with fewer than n words has ZERO n-grams (an unconditional
+    sequence(0, greatest(size-n, 0)) would emit one bogus short
+    "gram", systematically mis-scoring short-doc corpora); NULL text
+    counts as empty. Words split on single spaces (engine-portable,
+    oracle-exact); runs of whitespace therefore yield empty words
+    inside grams — normalize whitespace upstream if inputs aren't
+    single-spaced."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
     words = F.split(c, " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-    )
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
     return F.size(grams), F.size(F.array_distinct(grams))
 
 

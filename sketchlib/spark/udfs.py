@@ -110,6 +110,22 @@ def bloom_semi_join(
     from .merge import tree_merge
 
     right_key = right_key or left_key
+    # The Bloom pre-filter hashes STRING-CAST key values while the
+    # exact semi-join compares with native type coercion; for
+    # differing key types the two can disagree (int 1 renders '1',
+    # double 1.0 renders '1.0' — coerced-equal but hash-different),
+    # and the pre-filter would silently DROP matching rows, breaking
+    # the no-false-negatives contract. Refuse loudly instead.
+    lt = left.schema[left_key].dataType
+    rt = right.schema[right_key].dataType
+    if lt != rt:
+        raise ValueError(
+            f"bloom_semi_join key types must match exactly: left "
+            f"{left_key}:{lt.simpleString()} vs right "
+            f"{right_key}:{rt.simpleString()} — cast one side first "
+            "(string-cast hashing vs native join coercion would "
+            "silently drop matching rows otherwise)"
+        )
     spark = left.sparkSession
     # persist the distinct build keys: without it the sizing count, the
     # sketch build, and (absent a cache) the final join would each
@@ -170,6 +186,13 @@ def cms_heavy_hitters(
         counts: dict = {}
         for rb in batches:
             col = rb.column(0)
+            # NULL keys are excluded, not counted: Arrow value_counts
+            # emits null as a value, and a None candidate would crash
+            # every sorted() below (None < str is a TypeError) — a
+            # heavy-hitter query over a sparse key column must not die
+            # on its null contingent.
+            if col.null_count:
+                col = col.drop_null()
             vc = col.value_counts()
             vals = vc.field("values").to_pylist()
             cnts = vc.field("counts").to_numpy(zero_copy_only=False)

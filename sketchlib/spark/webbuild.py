@@ -215,7 +215,9 @@ def build_web_pipeline(
     column.
 
     Job A — fixed-size sketches (HLL distinct urls, CMS token
-    frequencies, KLL + t-digest page sizes) built on the SCAN partitions
+    frequencies, KLL page sizes; build_web_sketches can add t-digest
+    via its size_sketches arg, the pipeline's dict is hll/cms/kll
+    only) built on the SCAN partitions
     with zero shuffle; per-partition state is KBs–1 MB independent of
     corpus size, so partition count can track core count freely.
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["as_binary_array", "to_offsets", "padded_matrix", "length_sorted_chunks"]
+__all__ = ["as_binary_array", "to_offsets", "padded_matrix"]
 
 
 def as_binary_array(values) -> pa.Array:
@@ -76,21 +76,7 @@ def padded_matrix(
     return mat, lens
 
 
-def length_sorted_chunks(lens: np.ndarray, max_cells: int = 1 << 26):
-    """Yield (order_slice,) index arrays grouping rows of similar length.
-
-    Sorting by length descending keeps the per-column "active rows" a
-    prefix (cheap slicing, no masks) and chunking bounds the padded
-    matrix to ``max_cells`` bytes so one pathological long row doesn't
-    blow up memory for the whole batch.
-    """
-    n = len(lens)
-    if n == 0:
-        return
-    order = np.argsort(-lens, kind="stable")
-    start = 0
-    while start < n:
-        width = max(int(lens[order[start]]), 1)
-        rows = max(int(max_cells // width), 1)
-        yield order[start : start + rows]
-        start += rows
+# (an earlier length_sorted_chunks generator lived here; hash64_batch
+# in kernels.py superseded it with a radix-sorted, Arrow-take variant
+# whose chunks slice the contiguous data buffer directly — the unused
+# generator was deleted rather than kept as a second chunking policy)

@@ -40,16 +40,25 @@ def build_grouped_sketches(
     row_key: str | None = None,
 ) -> DataFrame:
     """→ one row per group (GROUP_SKETCH_SCHEMA) via salted two-stage
-    build. ``row_key`` feeds the salt hash (defaults to ``key_col``)."""
-    salted = salt_grouped(
-        df.select(
-            F.col(group_col).cast("string").alias("group_key"),
-            F.col(key_col).alias("key"),
-        ),
-        "group_key",
-        salt_buckets,
-        row_key="key" if row_key is None else row_key,
-    )
+    build. ``row_key`` feeds the salt hash (defaults to ``key_col``).
+
+    Pass a distinct ``row_key`` (e.g. the url column) when ``key_col``
+    values repeat heavily inside a hot group: salting on the value
+    column sends every copy of a hot value to the SAME salt bucket,
+    defeating the salt — a row-unique column spreads them. The column
+    is projected through for the salt hash and dropped after."""
+    proj = [
+        F.col(group_col).cast("string").alias("group_key"),
+        F.col(key_col).alias("key"),
+    ]
+    if row_key is not None and row_key != key_col:
+        # row_key must survive the projection or salt_grouped's
+        # xxhash64(row_key) hits a dropped column (AnalysisException)
+        proj.append(F.col(row_key).alias("_salt_row_key"))
+        salt_col = "_salt_row_key"
+    else:
+        salt_col = "key"
+    salted = salt_grouped(df.select(*proj), "group_key", salt_buckets, row_key=salt_col)
 
     def build_partial(pdf: pd.DataFrame) -> pd.DataFrame:
         sk = factory()

@@ -26,7 +26,11 @@ def get_spark(
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
-    shuffle = shuffle_partitions or int(cpus) if cpus.isdigit() else 32
+    # parens matter: without them Python parses this as
+    # `(shuffle_partitions or int(cpus)) if cpus.isdigit() else 32`,
+    # silently discarding an explicit shuffle_partitions whenever
+    # SPARK_GRAFT_CPUS is non-numeric (e.g. '*')
+    shuffle = shuffle_partitions or (int(cpus) if cpus.isdigit() else 32)
     return (
         SparkSession.builder.master(master)
         .appName(app)

@@ -18,27 +18,59 @@ from ..spark.merge import tree_merge
 
 
 class IncrementalSketchBuilder:
-    """foreachBatch sink: state(t+1) = merge(state(t), build(batch))."""
+    """foreachBatch sink: state(t+1) = merge(state(t), build(batch)).
+
+    Replay-idempotent: foreachBatch is at-least-once (a crash between
+    the state write and Spark committing the batch's offsets replays
+    the batch on restart), and sketch merges are NOT idempotent under
+    re-application (CMS counts and KLL n would double, a cuckoo filter
+    would double-insert every fingerprint). The last applied batch_id
+    is therefore persisted in the same atomic write as the state, and
+    a replayed (<= last) batch id is a no-op — same recipe as the
+    sharded streaming sink's epoch check."""
+
+    _MAGIC = b"ISB1"  # state-file header: magic + 8-byte last batch id
 
     def __init__(self, factory, key_col: str, state_path: str):
         self.factory = factory
         self.key_col = key_col
         self.state_path = state_path
 
-    def current(self):
+    def _read(self):
+        """→ (last_applied_batch_id, sketch). Legacy headerless files
+        (pre-batch-id format) load as batch −1: replay protection
+        starts from the next write."""
         if os.path.exists(self.state_path):
             with open(self.state_path, "rb") as fh:
-                return loads(fh.read())
-        return self.factory()
+                raw = fh.read()
+            if raw[:4] == self._MAGIC:
+                bid = int.from_bytes(raw[4:12], "little", signed=True)
+                return bid, loads(raw[12:])
+            return -1, loads(raw)
+        return -1, self.factory()
+
+    def current(self):
+        return self._read()[1]
+
+    def last_batch_id(self) -> int:
+        return self._read()[0]
 
     def process_batch(self, batch_df, batch_id: int) -> None:
+        last, state = self._read()
+        if batch_id <= last:
+            return  # replayed micro-batch: already folded into state
         delta = tree_merge(build_sketches(batch_df, self.key_col, self.factory))
-        if delta is None:
-            return
-        state = self.current().merge(delta)
+        if delta is not None:
+            state = state.merge(delta)
+        # even for an empty delta, persist the advanced batch id so a
+        # replay of THIS batch after a later crash stays a no-op
         tmp = f"{self.state_path}.tmp-{batch_id}"
         with open(tmp, "wb") as fh:
-            fh.write(state.to_bytes())
+            fh.write(
+                self._MAGIC
+                + batch_id.to_bytes(8, "little", signed=True)
+                + state.to_bytes()
+            )
         os.replace(tmp, self.state_path)  # atomic per-batch checkpoint
 
     def attach(self, stream_df, checkpoint_dir: str, trigger_once: bool = True):

@@ -26,13 +26,22 @@ def hll_distinct_by_key(
     grouped,  # stream_df.groupBy(key_col) result
     factory: Callable[[], object],
     timeout: str = "NoTimeout",
+    value_col: str | None = None,
 ):
     """stream.groupBy(key) → running per-key distinct estimate.
 
     Usage:
         out = hll_distinct_by_key(
-            events.groupBy("user_id"), lambda: HyperLogLog(12))
+            events.groupBy("user_id"), lambda: HyperLogLog(12),
+            value_col="event_type")
         out.writeStream...
+
+    ``value_col`` names the column to sketch. Pass it explicitly:
+    the None default falls back to the stream DataFrame's SECOND
+    column (applyInPandasWithState delivers batches in original
+    column order), which silently sketches the wrong column — often
+    the grouping key itself, making every estimate ~1 — whenever the
+    stream's columns aren't exactly (key, value).
 
     State per key = (sketch blob, rows seen). Works for any sketch with
     ``update`` + a scalar ``estimate()`` (HLL; CMS total; KLL n).
@@ -47,7 +56,7 @@ def hll_distinct_by_key(
         else:
             sk, n = factory(), 0
         for pdf in pdfs:
-            vals = pdf.iloc[:, 1]  # second column = value column
+            vals = pdf[value_col] if value_col is not None else pdf.iloc[:, 1]
             sk.update(vals)
             n += len(pdf)
         state.update((sk.to_bytes(), n))

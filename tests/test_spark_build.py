@@ -226,6 +226,36 @@ def test_grouped_estimates_within_bound(spark, docs_df):
         assert abs(r.estimate - exact[r.group_key]) / max(exact[r.group_key], 1) <= 0.1
 
 
+def test_grouped_build_distinct_row_key(spark, docs_df):
+    """row_key variant: when key_col values repeat heavily inside a
+    group, salting on the value sends every copy of a hot value to one
+    salt bucket; a row-unique row_key spreads them. The row_key column
+    is projected through for the salt hash only — results must be
+    byte-identical to the value-salted build (associative merges) and
+    the helper column must not leak into the output schema."""
+    from sketchlib.serde import loads
+    from sketchlib.sketches import HyperLogLog
+    from sketchlib.spark.grouped import build_grouped_sketches
+
+    # lang takes a handful of distinct values per group (maximally
+    # repeated key_col); url is row-unique
+    d = docs_df.select(
+        (F.xxhash64("url") % 2).cast("string").alias("grp"),
+        F.col("lang").alias("val"),
+        "url",
+    )
+    by_val = build_grouped_sketches(
+        d, "grp", "val", lambda: HyperLogLog(12), salt_buckets=4
+    )
+    by_url = build_grouped_sketches(
+        d, "grp", "val", lambda: HyperLogLog(12), salt_buckets=4, row_key="url"
+    )
+    got_val = {r.group_key: (r.n_rows, loads(r.state).to_bytes()) for r in by_val.collect()}
+    got_url = {r.group_key: (r.n_rows, loads(r.state).to_bytes()) for r in by_url.collect()}
+    assert got_val == got_url
+    assert set(by_url.columns) == {"group_key", "n_rows", "state"}
+
+
 # ------------------------------------------------------------ checkpoint/resume
 
 

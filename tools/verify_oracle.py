@@ -57,7 +57,12 @@ def main() -> None:
 
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
+        try:
+            con.sql(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
+        except Exception as e:
+            # partial test dirs stay usable: only oracles that actually
+            # reference the missing table will fail, at query time
+            print(f"! view {t} unavailable: {type(e).__name__}: {e}")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -100,6 +105,10 @@ def main() -> None:
             results[name] = f"VALUE MISMATCH ({diff})"
         else:
             results[name] = f"OK ({len(s)} rows)"
+    if not results:
+        known = ", ".join(sorted(only - set(qs))) or "(none)"
+        print(f"0 queries matched the filter; unknown names: {known}")
+        return
     width = max(len(k) for k in results)
     fails = 0
     for k, v in results.items():

@@ -10,7 +10,7 @@
 The north-star pipeline end-to-end: Common-Crawl-style archives are
 parsed with the bounded-memory streaming WARC source (one task per
 archive, incremental gzip, corrupt-record resync), pages flow through
-the single-shuffle corpus-prepare shape (PII scrub → xxhash64 text
+the single-shuffle corpus-prepare shape (PII scrub → 128-bit md5 text
 dedup via min-of-struct, no join-back → token-count quality floor →
 deterministic hash split), and the deduplicated url set additionally
 builds a sharded cuckoo membership table for downstream
@@ -70,10 +70,17 @@ def main() -> None:
     # ONE shuffle end-to-end: scrub/tokens are scan-side projections;
     # min(struct) picks the winner per text digest with its metadata
     # attached, so no winners->corpus join-back (q_corpus_prepare shape)
+    # dedup key: 128-bit md5 (unhex → 16-byte binary). Unlike
+    # dedup_exact_hash — whose whole point is shuffling (8-byte digest,
+    # id) instead of text, with documented ~n²/2^64 collision
+    # acceptance — this job's min(struct) shuffle already carries the
+    # full text, so the wider digest costs nothing in shuffle volume
+    # and drops silent collision-deletions to ~n²/2^129 (immaterial
+    # even at the 10^12-doc north star).
     scrubbed = pages.select(
         "url", "warc_ts", "lang", scrub_pii().alias("text")
     ).select(
-        F.xxhash64("text").alias("_th"),
+        F.unhex(F.md5("text")).alias("_th"),
         F.struct(
             "url", "warc_ts", "lang", "text", token_count("text").alias("n_tokens")
         ).alias("m"),
@@ -120,7 +127,9 @@ def main() -> None:
         "pages_per_sec": round(n_pages / total_sec) if total_sec else None,
         "shards": args.shards,
     }
-    _write_text(
+    from sketchlib.spark.fsio import write_text
+
+    write_text(
         spark, f"{args.output}/metrics.json", json.dumps(metrics, indent=2)
     )
     print("WARC_INGEST_RESULT " + json.dumps(metrics))
@@ -129,21 +138,6 @@ def main() -> None:
         # fail the job loudly instead of shipping a broken index
         raise SystemExit(f"cuckoo insert failures: {fails} (resize --shards/capacity)")
     spark.stop()
-
-
-def _write_text(spark, path: str, data: str) -> None:
-    """Small-file write through the session's Hadoop FileSystem, so
-    hdfs:///s3a:// --output URIs work — builtin open() only speaks the
-    driver's local disk."""
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(conf)
-    out = fs.create(p, True)
-    try:
-        out.write(bytearray(data.encode()))
-    finally:
-        out.close()
 
 
 if __name__ == "__main__":

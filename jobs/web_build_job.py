@@ -69,9 +69,19 @@ def main() -> None:
     t0 = time.time()
 
     if args.checkpoint:
-        # checkpointed path: per-sketch builds with per-partition lineage
+        # checkpointed path: per-sketch builds with per-partition
+        # lineage. Same three-sketch contract as the fused path below
+        # (fixed/{hll,cms,kll}.bin) — the CMS builds over exploded
+        # tokens here because build_sketches folds one column per pass;
+        # that trades the fused fold's value_counts map-side combine
+        # for per-partition resumability.
         from pyspark.sql import functions as F
 
+        toks = docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(coalesce(text,''), '\\\\S+', 0)")
+            ).alias("tok")
+        )
         fixed = {
             "hll": tree_merge(
                 build_sketches(
@@ -79,6 +89,14 @@ def main() -> None:
                     "url",
                     lambda: HyperLogLog(14),
                     checkpoint_dir=os.path.join(args.checkpoint, "hll"),
+                )
+            ),
+            "cms": tree_merge(
+                build_sketches(
+                    toks,
+                    "tok",
+                    lambda: CountMinSketch(width=args.cms_width, depth=4),
+                    checkpoint_dir=os.path.join(args.checkpoint, "cms"),
                 )
             ),
             "kll": tree_merge(
@@ -91,6 +109,9 @@ def main() -> None:
                 )
             ),
         }
+        # empty partitions yield no sketch rows: drop None merges so
+        # both branches return the same {present names} shape
+        fixed = {k: v for k, v in fixed.items() if v is not None}
     else:
         fixed = merge_web_sketches(
             build_web_sketches(
@@ -115,25 +136,35 @@ def main() -> None:
     shards = spark.read.parquet(os.path.join(args.output, "shards"))
     agg = shards.groupBy().sum("n_rows", "item_count", "fail_count").first()
 
-    fixed_dir = os.path.join(args.output, "fixed")
-    os.makedirs(fixed_dir, exist_ok=True)
+    # sidecar artifacts go through the Hadoop FS so hdfs:///s3a://
+    # --output URIs work — open()/os.makedirs would silently write a
+    # local directory literally named "s3a:" on the driver
+    from sketchlib.spark.fsio import write_bytes, write_text
+
     for name, sk in fixed.items():
-        with open(os.path.join(fixed_dir, f"{name}.bin"), "wb") as fh:
-            fh.write(sk.to_bytes())
+        write_bytes(spark, f"{args.output}/fixed/{name}.bin", sk.to_bytes())
 
     metrics = {
         "rows": n,
         "build_sec": round(build_sec, 2),
         "docs_per_sec": round(n / build_sec) if build_sec else None,
         "shards": args.shards,
-        "shard_rows": int(agg["sum(n_rows)"]),
-        "cuckoo_items": int(agg["sum(item_count)"]),
-        "cuckoo_failures": int(agg["sum(fail_count)"]),
+        # empty input: the 0-row shards table aggregates to NULLs
+        "shard_rows": int(agg["sum(n_rows)"] or 0),
+        "cuckoo_items": int(agg["sum(item_count)"] or 0),
+        "cuckoo_failures": int(agg["sum(fail_count)"] or 0),
         "hll_distinct_urls": round(fixed["hll"].estimate()) if "hll" in fixed else None,
     }
-    with open(os.path.join(args.output, "metrics.json"), "w") as fh:
-        json.dump(metrics, fh, indent=2)
+    write_text(spark, f"{args.output}/metrics.json", json.dumps(metrics, indent=2))
     print(json.dumps(metrics))
+    if metrics["cuckoo_failures"]:
+        # a filter that dropped inserts answers false for present urls —
+        # fail loudly instead of shipping a broken index (same contract
+        # as warc_ingest_job)
+        raise SystemExit(
+            f"cuckoo insert failures: {metrics['cuckoo_failures']}"
+            " (resize --shards/capacity)"
+        )
     spark.stop()
 
 

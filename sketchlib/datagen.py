@@ -119,6 +119,12 @@ def warc_bytes(n: int, seed: int = 42, **kw) -> bytes:
         record(
             "warcinfo",
             [("WARC-Record-ID", "<urn:uuid:00000000-0000-0000-0000-000000000000>"),
+             # WARC-Date is MANDATORY on every record (ISO 28500 §5.4);
+             # strict parsers (warcio strict mode, CC tooling) reject
+             # archives whose warcinfo omits it. Deterministic: the
+             # first page's timestamp, not wall clock.
+             ("WARC-Date", tss[0].strftime("%Y-%m-%dT%H:%M:%SZ") if tss
+              else "2024-01-01T00:00:00Z"),
              ("Content-Type", "application/warc-fields")],
             b"software: sketchlib-datagen\r\n",
         )

@@ -14,6 +14,7 @@ import numpy as np
 from .base import MergeableSketch, load_arrays, save_arrays
 
 _C = 2.0 / 3.0
+_M64 = (1 << 64) - 1
 
 
 class KLLSketch(MergeableSketch):
@@ -22,7 +23,6 @@ class KLLSketch(MergeableSketch):
             raise ValueError("k must be >= 8")
         self.k = k
         self.seed = seed
-        self._rng = np.random.Generator(np.random.PCG64(seed))
         self.compactors: list[np.ndarray] = [np.empty(0, np.float64)]
         self.n = 0
 
@@ -38,6 +38,30 @@ class KLLSketch(MergeableSketch):
     def _max_size(self) -> int:
         return sum(self._capacity(h) for h in range(len(self.compactors)))
 
+    def _coin(self, h: int, buf: np.ndarray) -> int:
+        """Compaction-parity coin: splitmix64 over (seed, level, n,
+        buffer boundary values).
+
+        Deterministic given the same data + merge order (reproducible
+        builds), but DECORRELATED across sketch instances: the old
+        per-instance RNG gave every partition's sketch the identical
+        seed-42 parity sequence, so partition i's j-th compaction
+        always promoted the same stride as partition k's j-th — rank
+        errors added coherently (~P) under a P-way merge instead of
+        cancelling (~sqrt(P)), and from_bytes additionally replayed
+        the sequence from the start. Mixing in n and the buffer's
+        boundary values makes the coins data-dependent (different
+        partitions see different data), which is the standard
+        derandomization tradeoff: adversarially-crafted inputs could
+        bias the coin, i.i.d.-ish real data cannot."""
+        x = (self.seed + 0x9E3779B97F4A7C15 * (h + 1)) & _M64
+        x ^= (self.n * 0xBF58476D1CE4E5B9) & _M64
+        x ^= int(np.float64(buf[0]).view(np.uint64))
+        x ^= (int(np.float64(buf[-1]).view(np.uint64)) * 0x94D049BB133111EB) & _M64
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _M64
+        return int((x ^ (x >> 31)) & 1)
+
     def _compress(self) -> None:
         while self._size() > self._max_size():
             for h in range(len(self.compactors)):
@@ -45,7 +69,7 @@ class KLLSketch(MergeableSketch):
                     if h + 1 == len(self.compactors):
                         self.compactors.append(np.empty(0, np.float64))
                     buf = np.sort(self.compactors[h])
-                    offset = int(self._rng.integers(0, 2))
+                    offset = self._coin(h, buf)
                     promoted = buf[offset::2]
                     self.compactors[h + 1] = np.concatenate(
                         (self.compactors[h + 1], promoted)

@@ -40,11 +40,10 @@ def salt_grouped(df, group_key: str, salt_buckets: int, row_key: str = "url"):
 
 
 def partition_sizes(df) -> list[int]:
-    """Diagnostic: rows per partition (used by skew tests/bench)."""
-    return [
-        r["cnt"]
-        for r in df.groupBy(F.spark_partition_id().alias("pid"))
-        .agg(F.count("*").alias("cnt"))
-        .orderBy("pid")
-        .collect()
-    ]
+    """Diagnostic: rows per partition, INCLUDING empty ones (used by
+    skew tests/bench). A groupBy on spark_partition_id only ever sees
+    non-empty partitions, which under-reports exactly the skew this
+    diagnostic exists to catch (4 hot + 12 empty partitions would look
+    uniform) — so count per partition on the RDD instead. Diagnostic
+    only: runs a job over the whole frame."""
+    return df.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()

@@ -169,38 +169,75 @@ def build_column_sketches(
     return df.select(col).mapInArrow(fold, WEB_SKETCH_SCHEMA)
 
 
-def merge_web_sketches(sketch_df) -> dict[str, object]:
-    """Per-sketch-name two-level merge → {name: merged sketch object}.
-
-    Level 1 groups by sketch name executor-side (tiny rows); the driver
-    finishes each name's ≤numPartitions blobs. Shuffle volume = number
-    of partitions × state size, independent of input rows.
-    """
-    import pandas as pd
-
-    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        sk = loads(pdf["state"].iloc[0])
-        for blob in pdf["state"].iloc[1:]:
-            sk.merge(loads(blob))
+def _fold_blob_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """Streaming fold of one partition's sketch rows: one running
+    sketch per name, each incoming blob merged then dropped — task
+    memory is n_names × state_size regardless of how many rows the
+    partition holds."""
+    sks: dict[str, object] = {}
+    n_rows: dict[str, int] = {}
+    part_id: dict[str, int] = {}
+    for rb in batches:
+        names = rb.column(0).to_pylist()
+        pids = rb.column(1).to_pylist()
+        counts = rb.column(2).to_pylist()
+        states = rb.column(6)
+        for i, name in enumerate(names):
+            sk = loads(states[i].as_py())
+            if name in sks:
+                sks[name].merge(sk)
+                n_rows[name] += counts[i]
+                part_id[name] = min(part_id[name], pids[i])
+            else:
+                sks[name] = sk
+                n_rows[name] = counts[i]
+                part_id[name] = pids[i]
+    for name, sk in sks.items():
         items, fails, load = _metrics(sk)
-        return pd.DataFrame(
+        yield pa.RecordBatch.from_pydict(
             {
-                "sketch": [pdf["sketch"].iloc[0]],
-                "part_id": [int(pdf["part_id"].min())],
-                "n_rows": [int(pdf["n_rows"].sum())],
+                "sketch": [name],
+                "part_id": [part_id[name]],
+                "n_rows": [n_rows[name]],
                 "item_count": [items],
                 "fail_count": [fails],
                 "load_factor": [load],
                 "state": [sk.to_bytes()],
-            }
+            },
+            schema=_PA_SCHEMA,
         )
 
+
+def merge_web_sketches(sketch_df, fanout: int = 64) -> dict[str, object]:
+    """Bounded-memory merge → {name: merged sketch object}.
+
+    Level 1 repartitions the P×n_names blob rows into ≤fanout tasks
+    and STREAMS each task's rows through a per-name running merge
+    (mapInArrow iterator — the task never materializes its group, so
+    memory is n_names × state_size no matter how many scan partitions
+    fed it). The driver then finishes ≤fanout blobs per name.
+
+    The earlier shape — ``groupBy("sketch").applyInPandas`` — funneled
+    EVERY partition's blob of a name into one task as a fully
+    materialized pandas frame: at 100 TB / 128 MB scan partitions
+    that's ~800k blobs × MB-scale CMS states ≈ TBs in a single task.
+    Fanout tasks each fold P/fanout blobs sequentially instead, and
+    per-task memory no longer depends on P at all.
+    """
+    p = sketch_df.rdd.getNumPartitions()
     rows = (
-        sketch_df.groupBy("sketch")
-        .applyInPandas(merge_group, WEB_SKETCH_SCHEMA)
+        sketch_df.repartition(min(fanout, max(p, 1)))
+        .mapInArrow(_fold_blob_partition, WEB_SKETCH_SCHEMA)
         .collect()
     )
-    return {r.sketch: loads(r.state) for r in rows}
+    out: dict[str, object] = {}
+    for r in rows:
+        sk = loads(r.state)
+        if r.sketch in out:
+            out[r.sketch].merge(sk)
+        else:
+            out[r.sketch] = sk
+    return out
 
 
 def build_web_pipeline(

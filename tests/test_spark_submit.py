@@ -16,13 +16,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
 
 
-@pytest.mark.skipif(
-    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not installed"
-)
-def test_spark_submit_py_files_roundtrip(tmp_path):
-    """Zip the package, submit the sharded build+probe job from a
-    clean cwd (sketchlib import can only resolve from the zip), and
-    check the no-false-negative verdict line."""
+def _build_zip(tmp_path) -> str:
+    """Zip the sketchlib package the way a cluster submit would."""
     zip_path = tmp_path / "sketchlib.zip"
     with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
         pkg = os.path.join(REPO, "sketchlib")
@@ -33,23 +28,37 @@ def test_spark_submit_py_files_roundtrip(tmp_path):
                 if f.endswith(".py"):
                     full = os.path.join(root, f)
                     zf.write(full, os.path.relpath(full, REPO))
-    job = tmp_path / "job.py"
-    shutil.copy(os.path.join(REPO, "tools", "pyfiles_job.py"), job)
+    return str(zip_path)
+
+
+def _submit_env() -> dict:
     env = dict(os.environ)
     env["PYSPARK_PYTHON"] = sys.executable
     env["PYSPARK_DRIVER_PYTHON"] = sys.executable
     env.pop("PYTHONPATH", None)  # the zip must be the only source
+    return env
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not installed"
+)
+def test_spark_submit_py_files_roundtrip(tmp_path):
+    """Zip the package, submit the sharded build+probe job from a
+    clean cwd (sketchlib import can only resolve from the zip), and
+    check the no-false-negative verdict line."""
+    job = tmp_path / "job.py"
+    shutil.copy(os.path.join(REPO, "tools", "pyfiles_job.py"), job)
     out = subprocess.run(
         [
             SPARK_SUBMIT,
             "--master", "local[4]",
             "--conf", "spark.sql.shuffle.partitions=4",
             "--conf", "spark.ui.enabled=false",
-            "--py-files", str(zip_path),
+            "--py-files", _build_zip(tmp_path),
             str(job),
         ],
         cwd=tmp_path,  # NOT the repo: proves the zip supplied the library
-        env=env,
+        env=_submit_env(),
         capture_output=True,
         text=True,
         timeout=420,
@@ -81,29 +90,15 @@ def test_spark_submit_warc_ingest_job(tmp_path):
     import gzip as _gzip
 
     (tmp_path / "b.warc.gz").write_bytes(_gzip.compress(blob + blob))
-    zip_path = tmp_path / "sketchlib.zip"
-    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
-        pkg = os.path.join(REPO, "sketchlib")
-        for root, _dirs, files in os.walk(pkg):
-            if "__pycache__" in root:
-                continue
-            for f in files:
-                if f.endswith(".py"):
-                    full = os.path.join(root, f)
-                    zf.write(full, os.path.relpath(full, REPO))
     job = tmp_path / "job.py"
     shutil.copy(os.path.join(REPO, "jobs", "warc_ingest_job.py"), job)
-    env = dict(os.environ)
-    env["PYSPARK_PYTHON"] = sys.executable
-    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
-    env.pop("PYTHONPATH", None)
     out = subprocess.run(
         [
             SPARK_SUBMIT,
             "--master", "local[4]",
             "--conf", "spark.sql.shuffle.partitions=4",
             "--conf", "spark.ui.enabled=false",
-            "--py-files", str(zip_path),
+            "--py-files", _build_zip(tmp_path),
             str(job),
             "--input", str(tmp_path),
             "--output", str(tmp_path / "out"),
@@ -111,7 +106,7 @@ def test_spark_submit_warc_ingest_job(tmp_path):
             "--min-tokens", "1",
         ],
         cwd=tmp_path,
-        env=env,
+        env=_submit_env(),
         capture_output=True,
         text=True,
         timeout=420,
@@ -131,3 +126,59 @@ def test_spark_submit_warc_ingest_job(tmp_path):
     assert res["dedup_and_quality_drop"] >= n  # ≥ the duplicated copy
     assert os.path.isdir(tmp_path / "out" / "corpus")
     assert os.path.isdir(tmp_path / "out" / "shards")
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not installed"
+)
+def test_spark_submit_web_build_job(tmp_path):
+    """web_build_job E2E through spark-submit, CHECKPOINTED path: the
+    resumable branch must honor the same fixed/{hll,cms,kll}.bin
+    contract as the fused path (a prior version silently dropped
+    cms.bin when --checkpoint was given), and every sidecar artifact
+    must land under --output via the Hadoop FS writer (metrics.json,
+    fixed/*.bin), not on the driver's local cwd."""
+    import pyarrow.parquet as pq
+
+    from sketchlib.datagen import generate_documents
+    from sketchlib.serde import loads
+
+    n = 300
+    (tmp_path / "in").mkdir()
+    pq.write_table(generate_documents(n, seed=7), tmp_path / "in" / "d.parquet")
+    job = tmp_path / "job.py"
+    shutil.copy(os.path.join(REPO, "jobs", "web_build_job.py"), job)
+    out = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", _build_zip(tmp_path),
+            str(job),
+            "--input", str(tmp_path / "in"),
+            "--output", str(tmp_path / "out"),
+            "--shards", "4",
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--cms-width", "4096",
+        ],
+        cwd=tmp_path,
+        env=_submit_env(),
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.splitlines()[-1])
+    assert res["rows"] == n
+    assert res["cuckoo_items"] == n  # urls are unique in the fixture
+    assert res["cuckoo_failures"] == 0
+    # full three-sketch contract on the checkpointed branch
+    for name in ("hll", "cms", "kll"):
+        blob = (tmp_path / "out" / "fixed" / f"{name}.bin").read_bytes()
+        assert len(blob) > 0
+        loads(blob)  # deserializes as a sketch
+    assert abs(res["hll_distinct_urls"] - n) / n < 0.1
+    assert (tmp_path / "out" / "metrics.json").exists()
+    kll = loads((tmp_path / "out" / "fixed" / "kll.bin").read_bytes())
+    assert kll.n == n  # one page-size observation per doc

@@ -121,6 +121,44 @@ def build_throughput(spark, docs_path: str, partitions: int, trials: int = 3) ->
     }
 
 
+def box_calibration(trials: int = 3) -> dict:
+    """Fixed deterministic numpy workload (sort 4M floats + 600x600
+    matmul), best of N, measured single-threaded AND fanned across 32
+    GIL-releasing threads. Same-code full-bench totals drift
+    11.9-26.2 s across one day on this host (neighbor contention — see
+    BENCH.md round 4), so every bench artifact carries this probe:
+    compare calib across rounds before reading query times as code
+    regressions. t1 catches a throttled core; t32/t1 (this box measured
+    t1 0.11-0.13 s, t32/t1 ~8 when otherwise idle — the shared-DRAM
+    ceiling plus any neighbor load) catches exactly the contention that
+    inflates the 32-slot Spark legs while leaving single-thread probes
+    clean."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    rng = np.random.default_rng(12345)
+    x = rng.normal(size=4_000_000)
+    m = rng.normal(size=(600, 600))
+
+    def work(_=None):
+        np.sort(x)
+        (m @ m).sum()
+        np.sort(x)
+
+    t1 = t32 = float("inf")
+    with ThreadPoolExecutor(max_workers=32) as ex:
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            work()
+            t1 = min(t1, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            list(ex.map(work, range(32)))
+            t32 = min(t32, time.perf_counter() - t0)
+    return {"t1": round(t1, 3), "t32": round(t32, 3),
+            "parallel_degradation": round(t32 / t1, 2)}
+
+
 HEADLINE = [
     "cuckoo_membership",
     "sharded_membership",
@@ -213,6 +251,11 @@ def main() -> None:
         print(json.dumps(scaling_report(docs_path), indent=2))
         return
 
+    # Bracket the measured window: neighbor contention on this host can
+    # appear/vanish within minutes (BENCH.md round 4: same-code headline
+    # drifted 11.9-26.2 s in one day), so a single endpoint probe can
+    # sample an idle box even when the queries ran under load.
+    calib_pre = box_calibration()
     spark = make_session(CPUS)
     try:
         queries = run_headline(spark)
@@ -230,6 +273,7 @@ def main() -> None:
                 "queries": queries,
                 "sf": sf,
                 "throughput": thr,
+                "box_calib_sec": {"pre": calib_pre, "post": box_calibration()},
             }
         )
     )

@@ -59,7 +59,6 @@ def main() -> None:
     from sketchlib.config import CuckooConfig
     from sketchlib.sketches import CountMinSketch, HyperLogLog, KLLSketch
     from sketchlib.spark.build import build_sketches
-    from sketchlib.spark.checkpoint import mark_stage_done, stage_done
     from sketchlib.spark.merge import tree_merge
     from sketchlib.spark.shard import build_sharded
     from sketchlib.spark.webbuild import build_web_sketches, merge_web_sketches
@@ -77,9 +76,15 @@ def main() -> None:
         # for per-partition resumability.
         from pyspark.sql import functions as F
 
+        # (?U) = Java UNICODE_CHARACTER_CLASS, so \S complements the
+        # Unicode White_Space set — the same set Arrow's
+        # utf8_split_whitespace uses in the fused path. Without it,
+        # Java \s is ASCII-only and a scraped '&nbsp;' (U+00A0) glues
+        # two tokens together, making cms.bin counts depend on whether
+        # --checkpoint was passed (tokenizer-parity pytest pins this).
         toks = docs.select(
             F.explode(
-                F.expr("regexp_extract_all(coalesce(text,''), '\\\\S+', 0)")
+                F.expr("regexp_extract_all(coalesce(text,''), '(?U)\\\\S+', 0)")
             ).alias("tok")
         )
         fixed = {

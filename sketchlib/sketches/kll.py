@@ -40,7 +40,7 @@ class KLLSketch(MergeableSketch):
 
     def _coin(self, h: int, buf: np.ndarray) -> int:
         """Compaction-parity coin: splitmix64 over (seed, level, n,
-        buffer boundary values).
+        whole-buffer digest).
 
         Deterministic given the same data + merge order (reproducible
         builds), but DECORRELATED across sketch instances: the old
@@ -49,15 +49,26 @@ class KLLSketch(MergeableSketch):
         always promoted the same stride as partition k's j-th — rank
         errors added coherently (~P) under a P-way merge instead of
         cancelling (~sqrt(P)), and from_bytes additionally replayed
-        the sequence from the start. Mixing in n and the buffer's
-        boundary values makes the coins data-dependent (different
-        partitions see different data), which is the standard
-        derandomization tradeoff: adversarially-crafted inputs could
-        bias the coin, i.i.d.-ish real data cannot."""
+        the sequence from the start. Mixing in n and a data digest
+        makes the coins data-dependent (different partitions see
+        different data), the standard derandomization tradeoff:
+        adversarially-crafted inputs could bias the coin, i.i.d.-ish
+        real data cannot.
+
+        The digest covers the WHOLE buffer as a wrap-around sum of the
+        raw float64 bit patterns, for two reasons. Boundary values
+        alone (an earlier shape) collapse on clamped/saturated data:
+        length-capped page sizes with empty pages give every large
+        buffer buf[0]=0, buf[-1]=cap, so uniform-sized partitions drew
+        identical coins again — exactly the correlation this coin
+        exists to break. And a sum, not an xor: clamped buffers are
+        full of duplicate values, whose patterns cancel pairwise under
+        xor (any even count digests to 0), while a sum is linear in
+        the element counts, so different interiors keep different
+        digests."""
         x = (self.seed + 0x9E3779B97F4A7C15 * (h + 1)) & _M64
         x ^= (self.n * 0xBF58476D1CE4E5B9) & _M64
-        x ^= int(np.float64(buf[0]).view(np.uint64))
-        x ^= (int(np.float64(buf[-1]).view(np.uint64)) * 0x94D049BB133111EB) & _M64
+        x ^= (int(buf.view(np.uint64).sum(dtype=np.uint64)) * 0x94D049BB133111EB) & _M64
         x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
         x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _M64
         return int((x ^ (x >> 31)) & 1)

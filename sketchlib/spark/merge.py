@@ -1,57 +1,81 @@
 """Two-level associative merge of per-partition sketch rows.
 
 The Spark analogue of ``treeAggregate`` (SURVEY.md §3.4 step 5):
-level 1 groups partition rows by ``part_id % fanout`` and merges each
-group executor-side (applyInPandas — the explicit partial/final UDAF
-pattern, since PySpark exposes no Python UDAF); level 2 merges the
-≤fanout survivors on the driver. Merge order within a group is
-whatever the shuffle delivers — safe because every sketch's merge is
-associative + commutative (property-tested, north-rule gate).
+level 1 routes partition rows to ``part_id % fanout`` groups and
+STREAMS each group through a running merge executor-side; level 2
+merges the ≤fanout survivors on the driver. Merge order within a
+group is whatever the shuffle delivers — safe because every sketch's
+merge is associative + commutative (property-tested, north-rule gate).
+
+Level 1 is a deliberate RDD ``mapPartitions`` — one of the rare spots
+where the imperative per-partition escape hatch is the *correct* tool:
+the rows are KB–MB sketch blobs (never data rows), and an RDD iterator
+hands them over ONE AT A TIME, so task memory is exactly
+running_state + one incoming blob no matter how many scan partitions
+fed the group. Both dataframe-native shapes materialize multi-blob
+batches the UDF can't refuse: ``groupBy().applyInPandas`` builds the
+whole group as one pandas frame (~P/fanout blobs), and ``mapInArrow``
+materializes ``spark.sql.execution.arrow.maxRecordsPerBatch`` rows
+(default 10k) per input batch — with MB-scale CMS states that is tens
+of GB per task at the 100 TB / 128 MB-partition scale this library
+targets (and no byte-capped batch conf exists for mapInArrow in
+Spark 4.1; ``maxBytesPerBatch`` only applies to transformWithState).
 
 Shuffle volume: fanout × state_size — KBs–MBs, never data-scale.
 """
 
 from __future__ import annotations
 
-import pandas as pd
-from pyspark.sql import functions as F
-
 from ..serde import loads
 from .build import SKETCH_ROW_SCHEMA, sketch_metrics
 
 
-def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    sk = loads(pdf["state"].iloc[0])
-    for blob in pdf["state"].iloc[1:]:
-        sk.merge(loads(blob))
-    items, fails, load = sketch_metrics(sk)
-    return pd.DataFrame(
-        {
-            "part_id": [int(pdf["part_id"].min())],
-            "n_rows": [int(pdf["n_rows"].sum())],
-            "item_count": [items],
-            "fail_count": [fails],
-            "load_factor": [load],
-            "state": [sk.to_bytes()],
-        }
+def _fold_rows(rows):
+    """Streaming fold of one merge group's (part_id, n_rows, state)
+    tuples: the running sketch plus ONE incoming blob resident at a
+    time — memory is 2 × state_size regardless of group size."""
+    sk = None
+    part_id = 0
+    n_rows = 0
+    for pid, nr, blob in rows:
+        other = loads(bytes(blob))
+        if sk is None:
+            sk, part_id, n_rows = other, int(pid), int(nr)
+        else:
+            sk.merge(other)
+            part_id = min(part_id, int(pid))
+            n_rows += int(nr)
+    if sk is not None:
+        items, fails, load = sketch_metrics(sk)
+        yield (part_id, n_rows, items, fails, load, sk.to_bytes())
+
+
+def _tree_fold_rdd(sketch_df, fanout: int):
+    """part_id % fanout routing + streaming per-group fold. Keys are
+    non-negative ints, so ``partitionBy``'s portable_hash reproduces
+    the historical ``merge_group = part_id % fanout`` grouping."""
+    return (
+        sketch_df.select("part_id", "n_rows", "state")
+        .rdd.map(lambda r: (r[0] % fanout, (r[0], r[1], r[2])))
+        .partitionBy(fanout)
+        .values()
+        .mapPartitions(_fold_rows)
     )
 
 
 def tree_merge_df(sketch_df, fanout: int = 16):
     """Level-1 merge: p partition rows → ≤fanout rows, executor-side."""
-    return (
-        sketch_df.withColumn("merge_group", F.col("part_id") % fanout)
-        .groupBy("merge_group")
-        .applyInPandas(_merge_group, SKETCH_ROW_SCHEMA)
+    return sketch_df.sparkSession.createDataFrame(
+        _tree_fold_rdd(sketch_df, fanout), SKETCH_ROW_SCHEMA
     )
 
 
 def tree_merge(sketch_df, fanout: int = 16):
     """Full two-level merge → one sketch object on the driver."""
-    rows = tree_merge_df(sketch_df, fanout).select("state").collect()
+    rows = _tree_fold_rdd(sketch_df, fanout).collect()
     if not rows:
         return None
-    sk = loads(rows[0].state)
+    sk = loads(bytes(rows[0][5]))
     for r in rows[1:]:
-        sk.merge(loads(r.state))
+        sk.merge(loads(bytes(r[5])))
     return sk

@@ -44,6 +44,10 @@ def partition_sizes(df) -> list[int]:
     skew tests/bench). A groupBy on spark_partition_id only ever sees
     non-empty partitions, which under-reports exactly the skew this
     diagnostic exists to catch (4 hot + 12 empty partitions would look
-    uniform) — so count per partition on the RDD instead. Diagnostic
-    only: runs a job over the whole frame."""
-    return df.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
+    uniform) — so count per partition on the RDD instead. The constant
+    projection first is load-bearing: it is narrow (partition
+    boundaries unchanged) and keeps MB-scale text/html payloads from
+    being pickled into the Python workers just to be counted.
+    Diagnostic only: runs a job over the whole frame."""
+    ones = df.select(F.lit(1).alias("one"))
+    return ones.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()

@@ -169,74 +169,66 @@ def build_column_sketches(
     return df.select(col).mapInArrow(fold, WEB_SKETCH_SCHEMA)
 
 
-def _fold_blob_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    """Streaming fold of one partition's sketch rows: one running
-    sketch per name, each incoming blob merged then dropped — task
-    memory is n_names × state_size regardless of how many rows the
-    partition holds."""
+def _fold_blob_rows(rows) -> Iterator[tuple]:
+    """Streaming fold of one merge group's (sketch, part_id, n_rows,
+    state) tuples: one running sketch per name, each incoming blob
+    merged then dropped. The RDD iterator hands blobs over ONE AT A
+    TIME, so task memory is n_names × state_size + one blob no matter
+    how many rows the group holds — a mapInArrow fold would instead
+    materialize arrow.maxRecordsPerBatch (default 10k) blob rows per
+    input batch, which at MB-scale CMS states is tens of GB."""
     sks: dict[str, object] = {}
     n_rows: dict[str, int] = {}
     part_id: dict[str, int] = {}
-    for rb in batches:
-        names = rb.column(0).to_pylist()
-        pids = rb.column(1).to_pylist()
-        counts = rb.column(2).to_pylist()
-        states = rb.column(6)
-        for i, name in enumerate(names):
-            sk = loads(states[i].as_py())
-            if name in sks:
-                sks[name].merge(sk)
-                n_rows[name] += counts[i]
-                part_id[name] = min(part_id[name], pids[i])
-            else:
-                sks[name] = sk
-                n_rows[name] = counts[i]
-                part_id[name] = pids[i]
+    for name, pid, count, blob in rows:
+        sk = loads(bytes(blob))
+        if name in sks:
+            sks[name].merge(sk)
+            n_rows[name] += int(count)
+            part_id[name] = min(part_id[name], int(pid))
+        else:
+            sks[name] = sk
+            n_rows[name] = int(count)
+            part_id[name] = int(pid)
     for name, sk in sks.items():
-        items, fails, load = _metrics(sk)
-        yield pa.RecordBatch.from_pydict(
-            {
-                "sketch": [name],
-                "part_id": [part_id[name]],
-                "n_rows": [n_rows[name]],
-                "item_count": [items],
-                "fail_count": [fails],
-                "load_factor": [load],
-                "state": [sk.to_bytes()],
-            },
-            schema=_PA_SCHEMA,
-        )
+        yield (name, part_id[name], n_rows[name], sk.to_bytes())
 
 
 def merge_web_sketches(sketch_df, fanout: int = 64) -> dict[str, object]:
     """Bounded-memory merge → {name: merged sketch object}.
 
-    Level 1 repartitions the P×n_names blob rows into ≤fanout tasks
-    and STREAMS each task's rows through a per-name running merge
-    (mapInArrow iterator — the task never materializes its group, so
-    memory is n_names × state_size no matter how many scan partitions
+    Level 1 routes the P×n_names blob rows to ``part_id % fanout``
+    groups and STREAMS each group through a per-name running merge
+    (RDD mapPartitions — the deliberate imperative escape hatch, see
+    sketchlib/spark/merge.py module docstring: rows are KB–MB sketch
+    blobs handed over one at a time, so per-task memory is
+    n_names × state_size + one blob no matter how many scan partitions
     fed it). The driver then finishes ≤fanout blobs per name.
 
-    The earlier shape — ``groupBy("sketch").applyInPandas`` — funneled
-    EVERY partition's blob of a name into one task as a fully
-    materialized pandas frame: at 100 TB / 128 MB scan partitions
-    that's ~800k blobs × MB-scale CMS states ≈ TBs in a single task.
-    Fanout tasks each fold P/fanout blobs sequentially instead, and
-    per-task memory no longer depends on P at all.
+    The earlier shapes both materialized multi-blob batches: ``groupBy
+    ("sketch").applyInPandas`` funneled EVERY partition's blob of a
+    name into one task as one pandas frame (~800k blobs × MB states ≈
+    TBs at 100 TB / 128 MB scan partitions), and a ``mapInArrow`` fold
+    still materializes 10k-row arrow batches (~tens of GB at MB
+    states) before the iterator sees them.
     """
     p = sketch_df.rdd.getNumPartitions()
+    k = min(fanout, max(p, 1))
     rows = (
-        sketch_df.repartition(min(fanout, max(p, 1)))
-        .mapInArrow(_fold_blob_partition, WEB_SKETCH_SCHEMA)
+        sketch_df.select("sketch", "part_id", "n_rows", "state")
+        .rdd.map(lambda r: (r[1] % k, (r[0], r[1], r[2], r[3])))
+        .partitionBy(k)
+        .values()
+        .mapPartitions(_fold_blob_rows)
         .collect()
     )
     out: dict[str, object] = {}
-    for r in rows:
-        sk = loads(r.state)
-        if r.sketch in out:
-            out[r.sketch].merge(sk)
+    for name, _pid, _n, blob in rows:
+        sk = loads(bytes(blob))
+        if name in out:
+            out[name].merge(sk)
         else:
-            out[r.sketch] = sk
+            out[name] = sk
     return out
 
 

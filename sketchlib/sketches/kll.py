@@ -65,7 +65,20 @@ class KLLSketch(MergeableSketch):
         full of duplicate values, whose patterns cancel pairwise under
         xor (any even count digests to 0), while a sum is linear in
         the element counts, so different interiors keep different
-        digests."""
+        digests.
+
+        Known limit (inherent to ANY deterministic data-dependent
+        coin): partitions holding IDENTICAL value multisets draw
+        identical sequences — indistinguishable inputs cannot be told
+        apart. The accuracy cost vanishes exactly where the collision
+        appears: coherent coins only add rank error where adjacent
+        buffer strides differ, so it is bounded by the number of
+        distinct-value boundaries per buffer — and buffers identical
+        across partitions are value-poor by construction (the fully
+        constant case has zero boundaries, hence zero added error).
+        Breaking even this case would need per-instance entropy
+        (e.g. partition-id-salted seeds), trading away the
+        reproducible-build property this coin exists to keep."""
         x = (self.seed + 0x9E3779B97F4A7C15 * (h + 1)) & _M64
         x ^= (self.n * 0xBF58476D1CE4E5B9) & _M64
         x ^= (int(buf.view(np.uint64).sum(dtype=np.uint64)) * 0x94D049BB133111EB) & _M64

@@ -1,7 +1,7 @@
 """Two-level associative merge of per-partition sketch rows.
 
 The Spark analogue of ``treeAggregate`` (SURVEY.md §3.4 step 5):
-level 1 routes partition rows to ``part_id % fanout`` groups and
+level 1 routes partition rows round-robin to ≤fanout groups and
 STREAMS each group through a running merge executor-side; level 2
 merges the ≤fanout survivors on the driver. Merge order within a
 group is whatever the shuffle delivers — safe because every sketch's
@@ -50,16 +50,34 @@ def _fold_rows(rows):
         yield (part_id, n_rows, items, fails, load, sk.to_bytes())
 
 
+def fold_groups_rdd(rdd, k: int, fold):
+    """Round-robin routing of an RDD's rows to ``k`` merge groups +
+    streaming per-group ``fold`` (shared by tree_merge and
+    webbuild.merge_web_sketches — keep the routing in ONE place).
+
+    Keyed by ``(source_partition_index + row_index) % k`` — balanced
+    for ANY input, independent of the part_id column's diversity. A
+    ``part_id % k`` key (an earlier shape) collapses whenever part_id
+    is constant or low-cardinality — e.g. re-merging a frame that
+    already went through level 1 (its part_id is each group's minimum:
+    ≤k distinct values), or unioned/synthesized rows sharing part_id=0
+    — routing everything to a few tasks while the rest idle. The
+    grouping itself is arbitrary: every fold is associative +
+    commutative, so only balance matters. Keys are 0..k-1 ints and
+    ``partitionBy``'s portable_hash is the identity on small
+    non-negative ints, so group j lands in partition j — exactly one
+    group per task."""
+
+    def route(idx, it):
+        for i, row in enumerate(it):
+            yield ((idx + i) % k, row)
+
+    return rdd.mapPartitionsWithIndex(route).partitionBy(k).values().mapPartitions(fold)
+
+
 def _tree_fold_rdd(sketch_df, fanout: int):
-    """part_id % fanout routing + streaming per-group fold. Keys are
-    non-negative ints, so ``partitionBy``'s portable_hash reproduces
-    the historical ``merge_group = part_id % fanout`` grouping."""
-    return (
-        sketch_df.select("part_id", "n_rows", "state")
-        .rdd.map(lambda r: (r[0] % fanout, (r[0], r[1], r[2])))
-        .partitionBy(fanout)
-        .values()
-        .mapPartitions(_fold_rows)
+    return fold_groups_rdd(
+        sketch_df.select("part_id", "n_rows", "state").rdd, fanout, _fold_rows
     )
 
 

@@ -39,15 +39,45 @@ def salt_grouped(df, group_key: str, salt_buckets: int, row_key: str = "url"):
     )
 
 
+def _count_projection(df):
+    """The frame ``partition_sizes`` actually counts: every payload
+    column dropped, so only 4-byte rows are pickled into the Python
+    workers (MB-scale text/html never crosses just to be counted)."""
+    return df.select(F.lit(1).alias("one"))
+
+
 def partition_sizes(df) -> list[int]:
     """Diagnostic: rows per partition, INCLUDING empty ones (used by
     skew tests/bench). A groupBy on spark_partition_id only ever sees
     non-empty partitions, which under-reports exactly the skew this
     diagnostic exists to catch (4 hot + 12 empty partitions would look
-    uniform) — so count per partition on the RDD instead. The constant
-    projection first is load-bearing: it is narrow (partition
-    boundaries unchanged) and keeps MB-scale text/html payloads from
-    being pickled into the Python workers just to be counted.
-    Diagnostic only: runs a job over the whole frame."""
-    ones = df.select(F.lit(1).alias("one"))
-    return ones.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
+    uniform) — so count per partition on the RDD of a constant-only
+    projection instead (see ``_count_projection``).
+
+    AQE caveat: the narrow projection is pushed below any shuffle, so
+    its map outputs are ~4 bytes/row — on an AQE-coalescible frame
+    (``repartition(col)`` with no explicit count) AQE would coalesce
+    the tiny post-shuffle partitions far more aggressively than the
+    full-width frame the caller actually consumes, and the diagnostic
+    would report a partitioning the real frame never has. Partition
+    coalescing is therefore disabled for the measurement job (conf
+    saved/restored around it): the report is the DECLARED,
+    pre-coalescing partitioning — the raw hash distribution, which is
+    the right view for skew diagnosis. The conf flip is session-scoped
+    for the job's duration; this is a diagnostic — don't run it
+    concurrently with latency-sensitive queries."""
+    spark = df.sparkSession
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, "false")
+    try:
+        ones = _count_projection(df)
+        return ones.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

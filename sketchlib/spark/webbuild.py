@@ -197,13 +197,15 @@ def _fold_blob_rows(rows) -> Iterator[tuple]:
 def merge_web_sketches(sketch_df, fanout: int = 64) -> dict[str, object]:
     """Bounded-memory merge → {name: merged sketch object}.
 
-    Level 1 routes the P×n_names blob rows to ``part_id % fanout``
+    Level 1 routes the P×n_names blob rows round-robin to ≤fanout
     groups and STREAMS each group through a per-name running merge
-    (RDD mapPartitions — the deliberate imperative escape hatch, see
-    sketchlib/spark/merge.py module docstring: rows are KB–MB sketch
-    blobs handed over one at a time, so per-task memory is
-    n_names × state_size + one blob no matter how many scan partitions
-    fed it). The driver then finishes ≤fanout blobs per name.
+    (RDD mapPartitions via merge.fold_groups_rdd — the deliberate
+    imperative escape hatch, see sketchlib/spark/merge.py module
+    docstring: rows are KB–MB sketch blobs handed over one at a time,
+    so per-task memory is n_names × state_size + one blob no matter
+    how many scan partitions fed it, and the routing is balanced no
+    matter what the part_id column holds). The driver then finishes
+    ≤fanout blobs per name.
 
     The earlier shapes both materialized multi-blob batches: ``groupBy
     ("sketch").applyInPandas`` funneled EVERY partition's blob of a
@@ -212,16 +214,15 @@ def merge_web_sketches(sketch_df, fanout: int = 64) -> dict[str, object]:
     still materializes 10k-row arrow batches (~tens of GB at MB
     states) before the iterator sees them.
     """
+    from .merge import fold_groups_rdd
+
     p = sketch_df.rdd.getNumPartitions()
     k = min(fanout, max(p, 1))
-    rows = (
-        sketch_df.select("sketch", "part_id", "n_rows", "state")
-        .rdd.map(lambda r: (r[1] % k, (r[0], r[1], r[2], r[3])))
-        .partitionBy(k)
-        .values()
-        .mapPartitions(_fold_blob_rows)
-        .collect()
-    )
+    rows = fold_groups_rdd(
+        sketch_df.select("sketch", "part_id", "n_rows", "state").rdd,
+        k,
+        _fold_blob_rows,
+    ).collect()
     out: dict[str, object] = {}
     for name, _pid, _n, blob in rows:
         sk = loads(bytes(blob))

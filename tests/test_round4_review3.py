@@ -78,7 +78,7 @@ def test_merge_web_sketches_bounded_fanout(spark, docs_df):
 
 def test_kll_coin_deterministic_and_resumable():
     """The compaction coin is a pure function of (seed, level, n,
-    buffer boundaries): same data twice → identical bytes, and a
+    whole-buffer digest): same data twice → identical bytes, and a
     sketch serialized mid-build resumes with the SAME parity choices —
     the old per-instance RNG replayed its sequence from the start
     after from_bytes, silently changing post-resume compactions."""

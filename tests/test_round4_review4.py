@@ -12,33 +12,63 @@ from pyspark.sql import functions as F
 # ------------------------------------------------ streaming blob folds
 
 
+class _Blob:
+    """Blob stand-in whose liveness is observable via weakref (bytes
+    itself refuses weak references). The folds only ever call
+    ``bytes(blob)``, so ``__bytes__`` is the whole contract."""
+
+    def __init__(self, payload: bytes):
+        self.payload = payload
+
+    def __bytes__(self) -> bytes:
+        return self.payload
+
+
+def _liveness_rows(n_rows_total: int, make_blob, alive):
+    """Generator that ASSERTS streaming: before handing out blob i+1,
+    at most ONE earlier blob may still be referenced (the fold's
+    current loop variable). An eager fold that materializes the group
+    (e.g. a reverted ``rows = list(rows)``, a pandas frame, or a
+    multi-row arrow batch) keeps every wrapper alive and trips the
+    assert on the second pull — CPython refcounting frees the dropped
+    ones immediately (no cycles), so no gc is needed."""
+    import weakref
+
+    for i in range(n_rows_total):
+        n_alive = sum(1 for w in alive if w() is not None)
+        assert n_alive <= 1, (
+            f"{n_alive} prior blobs alive before pull {i} — the fold "
+            "materializes its group instead of streaming per-row"
+        )
+        b = _Blob(make_blob(i))
+        alive.append(weakref.ref(b))
+        yield (i, 10, b)
+
+
 def test_tree_merge_streams_one_blob_at_a_time(spark):
     """Level-1 of tree_merge/tree_merge_df must hand blobs to the fold
     ONE AT A TIME (RDD iterator), never as a materialized multi-blob
     batch: groupBy().applyInPandas builds the whole merge group as one
     pandas frame and mapInArrow materializes 10k-row arrow batches —
     both are tens-of-GB per task at MB-scale CMS states and 100 TB /
-    128 MB scan-partition counts. Instrumented via a spy iterator that
-    tracks how many blobs were alive between next() calls."""
+    128 MB scan-partition counts. Pinned via weakref liveness: the
+    generator refuses to yield blob i+1 while >1 earlier blob is
+    still referenced."""
     from sketchlib.sketches import HyperLogLog
     from sketchlib.spark import build_sketches, tree_merge
     from sketchlib.spark.merge import _fold_rows
 
-    # direct check of the fold: a generator that records whether the
-    # fold drained row i before asking for row i+1
-    pulls = []
+    alive = []
 
-    def rows():
-        for pid in range(64):
-            sk = HyperLogLog(10)
-            sk.update([f"u{pid}-{j}" for j in range(10)])
-            pulls.append(pid)
-            yield (pid, 10, sk.to_bytes())
+    def make(i):
+        sk = HyperLogLog(10)
+        sk.update([f"u{i}-{j}" for j in range(10)])
+        return sk.to_bytes()
 
-    out = list(_fold_rows(rows()))
+    out = list(_fold_rows(_liveness_rows(64, make, alive)))
     assert len(out) == 1
     assert out[0][1] == 640  # n_rows summed
-    assert pulls == list(range(64))  # generator fully consumed lazily
+    assert len(alive) == 64  # generator fully consumed
 
     # end-to-end: the distributed result still matches a driver fold
     urls = spark.createDataFrame(
@@ -49,10 +79,10 @@ def test_tree_merge_streams_one_blob_at_a_time(spark):
 
 
 def test_merge_web_sketches_fold_is_per_row(spark, docs_df):
-    """merge_web_sketches' level-1 fold consumes a plain row iterator
-    (per-row granularity); feeding it a generator proves no batch
-    materialization, and the merged bytes still match a driver-side
-    fold for order-independent sketches."""
+    """merge_web_sketches' level-1 fold streams its row iterator
+    per-ROW (weakref liveness pin, same harness as the tree_merge
+    test), and the merged bytes still match a driver-side fold for
+    order-independent sketches."""
     from sketchlib.serde import loads
     from sketchlib.sketches import HyperLogLog
     from sketchlib.spark.webbuild import (
@@ -61,14 +91,19 @@ def test_merge_web_sketches_fold_is_per_row(spark, docs_df):
         merge_web_sketches,
     )
 
-    blobs = []
-    for pid in range(8):
-        sk = HyperLogLog(10)
-        sk.update([f"u{pid}-{j}" for j in range(5)])
-        blobs.append(("hll", pid, 5, sk.to_bytes()))
+    alive = []
 
-    out = list(_fold_blob_rows(iter(blobs)))
+    def make(i):
+        sk = HyperLogLog(10)
+        sk.update([f"u{i}-{j}" for j in range(5)])
+        return sk.to_bytes()
+
+    rows = (
+        ("hll", pid, 5, blob) for pid, _ten, blob in _liveness_rows(8, make, alive)
+    )
+    out = list(_fold_blob_rows(rows))
     assert len(out) == 1 and out[0][0] == "hll" and out[0][2] == 40
+    assert len(alive) == 8
 
     partials = build_web_sketches(
         docs_df.repartition(8), {"hll": lambda: HyperLogLog(12)}
@@ -169,22 +204,54 @@ def test_checkpointed_tokenizer_matches_arrow_whitespace(spark):
 # ----------------------------------------------- partition_sizes projection
 
 
-def test_partition_sizes_does_not_ship_payloads(spark):
-    """partition_sizes projects to a constant before df.rdd: the count
-    job must not deserialize MB-scale payload columns. Asserted
-    structurally — the RDD it counts carries 1-field rows — plus the
-    empty-partition contract stays intact."""
-    from sketchlib.spark.salt import partition_sizes
+def test_partition_sizes_does_not_ship_payloads(spark, monkeypatch):
+    """partition_sizes must count the narrow `_count_projection` frame
+    (constant-only rows), never df.rdd's full pickled payloads. Pinned
+    by SPYING on the wiring: a revert to counting df.rdd directly
+    never calls _count_projection and fails the spy assert; the spy
+    also checks the projected frame really is 1 constant column."""
+    import sketchlib.spark.salt as salt
 
+    seen = {}
+    orig = salt._count_projection
+
+    def spy(frame):
+        out = orig(frame)
+        seen["cols"] = out.columns
+        return out
+
+    monkeypatch.setattr(salt, "_count_projection", spy)
     df = (
         spark.range(100)
         .withColumn("payload", F.repeat(F.lit("x"), 10_000))
         .repartition(8)
     )
-    sizes = partition_sizes(df)
+    sizes = salt.partition_sizes(df)
     assert sum(sizes) == 100 and len(sizes) == 8
+    assert seen.get("cols") == ["one"], "partition_sizes bypassed _count_projection"
 
-    ones = df.select(F.lit(1).alias("one"))
-    assert len(ones.schema.fields) == 1  # projection really is constant-only
-    # narrow projection: partition boundaries unchanged
-    assert ones.rdd.getNumPartitions() == df.rdd.getNumPartitions()
+
+def test_partition_sizes_reports_declared_partitioning_under_aqe(spark):
+    """On an AQE-coalescible frame (repartition(col), no explicit
+    count) the narrow count projection shrinks shuffle map outputs to
+    ~4 B/row, so AQE would coalesce the measurement job's partitions
+    far harder than the full-width frame the caller consumes —
+    partition_sizes must instead report the DECLARED pre-coalescing
+    boundaries (shuffle.partitions buckets, empties included) and
+    restore the coalescing conf afterwards."""
+    from sketchlib.spark.salt import partition_sizes
+
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    before = spark.conf.get(key, "true")
+    df = (
+        spark.range(2000)
+        .withColumn("host", (F.col("id") % 3).cast("string"))
+        .repartition(F.col("host"))
+    )
+    sizes = partition_sizes(df)
+    assert sum(sizes) == 2000
+    # declared partitioning: exactly shuffle.partitions buckets, the
+    # ≥1 empty ones (3 distinct hosts) included, no AQE coalescing
+    assert len(sizes) == int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert any(s == 0 for s in sizes)
+    assert spark.conf.get(key, "true") == before  # conf restored

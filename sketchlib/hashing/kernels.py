@@ -188,6 +188,17 @@ def hash64_batch(values, strategy: str, max_cells: int = 1 << 26) -> np.ndarray:
     while pos < n:
         width = max(int(lens[pos]), 1)
         rows = min(max(int(max_cells // width), 1), n - pos)
+        if width > 64:
+            # geometric chunking: keep only rows ≥ width/2 in this
+            # chunk, so padded cells ≤ 2× the chunk's real bytes. The
+            # cell cap alone lets ONE long outlier (a 10 kB minified-JS
+            # "token" is routine on web text) drag thousands of short
+            # rows into its padded width — measured 102 ms → ~5 ms on a
+            # 60k-token batch whose max length was 10 kB. Skipped for
+            # short widths where padding waste is ≤ 64 B/row and the
+            # split would degenerate to row-at-a-time chunks on ties.
+            cut = int(np.searchsorted(-lens, -((width + 1) // 2), side="right"))
+            rows = min(rows, max(cut - pos, 1))
         chunk_lens = lens[pos : pos + rows]
         flat = data[starts[pos] : starts[pos + rows]]
         mat, _ = padded_matrix(chunk_lens, flat, pad_to=pad)

@@ -194,10 +194,20 @@ def _fold_blob_rows(rows) -> Iterator[tuple]:
         yield (name, part_id[name], n_rows[name], sk.to_bytes())
 
 
-def merge_web_sketches(sketch_df, fanout: int = 64) -> dict[str, object]:
+def merge_web_sketches(
+    sketch_df, fanout: int = 64, direct_partitions: int = 256
+) -> dict[str, object]:
     """Bounded-memory merge → {name: merged sketch object}.
 
-    Level 1 routes the P×n_names blob rows round-robin to ≤fanout
+    Adaptive depth (same crossover as ``merge.tree_merge``): at
+    ≤ ``direct_partitions`` blob partitions the executor level is
+    skipped — one collect, driver folds the p × n_names blobs one at a
+    time (transient = p × n_names × state_size; ~100 MB at the
+    flagship geometry). The level-1 RDD stage pair costs ~1.1 s of
+    task/python-shuffle overhead at bench scale while buying memory
+    bounds that only matter at 10^5+ scan partitions.
+
+    Past the threshold, level 1 routes the P×n_names blob rows round-robin to ≤fanout
     groups and STREAMS each group through a per-name running merge
     (RDD mapPartitions via merge.fold_groups_rdd — the deliberate
     imperative escape hatch, see sketchlib/spark/merge.py module
@@ -217,13 +227,21 @@ def merge_web_sketches(sketch_df, fanout: int = 64) -> dict[str, object]:
     from .merge import fold_groups_rdd
 
     p = sketch_df.rdd.getNumPartitions()
+    out: dict[str, object] = {}
+    if p <= direct_partitions:
+        for row in sketch_df.select("sketch", "state").collect():
+            sk = loads(bytes(row[1]))
+            if row[0] in out:
+                out[row[0]].merge(sk)
+            else:
+                out[row[0]] = sk
+        return out
     k = min(fanout, max(p, 1))
     rows = fold_groups_rdd(
         sketch_df.select("sketch", "part_id", "n_rows", "state").rdd,
         k,
         _fold_blob_rows,
     ).collect()
-    out: dict[str, object] = {}
     for name, _pid, _n, blob in rows:
         sk = loads(bytes(blob))
         if name in out:

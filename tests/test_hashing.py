@@ -223,3 +223,23 @@ def test_null_and_str_inputs():
     assert int(got[1]) == scalar.hash64(b"", "xx")
     assert int(got[0]) == scalar.hash64(b"abc", "xx")
     assert int(got[2]) == scalar.hash64(b"", "xx")
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_batch_geometric_chunking_long_outliers(strategy):
+    """One 10 kB outlier among thousands of short rows: the geometric
+    width/2 chunk split must keep batch == scalar while the outlier
+    gets its own narrow chunk (web text routinely has 10 kB
+    minified-JS 'tokens'; pre-split, the outlier dragged every short
+    row into its padded width — 20x the cells)."""
+    rng = np.random.Generator(np.random.PCG64(11))
+    items = [
+        bytes(rng.integers(0, 256, int(rng.integers(1, 12)), dtype=np.uint8))
+        for _ in range(2000)
+    ]
+    # outliers at several length scales, including ties at a power of 2
+    for ln in (10_000, 5_000, 4_096, 4_096, 300, 65, 64):
+        items.insert(int(rng.integers(0, len(items))), bytes(rng.integers(0, 256, ln, dtype=np.uint8)))
+    got = kernels.hash64_batch(items, strategy)
+    want = [scalar.hash64(v, strategy) for v in items]
+    assert [int(x) for x in got] == want

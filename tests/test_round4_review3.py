@@ -55,7 +55,10 @@ def test_merge_web_sketches_bounded_fanout(spark, docs_df):
         },
     ).persist()
     try:
-        merged = merge_web_sketches(partials, fanout=3)  # P >> fanout
+        # direct_partitions=0 forces the executor level (P >> fanout);
+        # the ≤threshold direct path is covered by the adaptive-merge
+        # equivalence test in test_round4_review5.py
+        merged = merge_web_sketches(partials, fanout=3, direct_partitions=0)
         # oracle: fold every partial driver-side
         oracle = {}
         for r in partials.collect():

@@ -74,7 +74,13 @@ def test_tree_merge_streams_one_blob_at_a_time(spark):
     urls = spark.createDataFrame(
         [(f"https://e{i}.com",) for i in range(2000)], "key string"
     ).repartition(16)
-    merged = tree_merge(build_sketches(urls, "key", lambda: HyperLogLog(12)), fanout=4)
+    # direct_partitions=0 forces the executor level — the streaming
+    # property under test lives there (≤ threshold skips it entirely)
+    merged = tree_merge(
+        build_sketches(urls, "key", lambda: HyperLogLog(12)),
+        fanout=4,
+        direct_partitions=0,
+    )
     assert abs(merged.estimate() - 2000) / 2000 < 0.1
 
 
@@ -109,7 +115,7 @@ def test_merge_web_sketches_fold_is_per_row(spark, docs_df):
         docs_df.repartition(8), {"hll": lambda: HyperLogLog(12)}
     ).persist()
     try:
-        merged = merge_web_sketches(partials, fanout=3)
+        merged = merge_web_sketches(partials, fanout=3, direct_partitions=0)
         oracle = None
         for r in partials.collect():
             sk = loads(r.state)

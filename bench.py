@@ -37,7 +37,11 @@ def ensure_bench_docs() -> str:
         from sketchlib.datagen import write_documents_parquet
 
         tmp = DOCS_PARQUET + ".tmp"
-        write_documents_parquet(tmp, BENCH_DOCS, seed=7, row_group_rows=1000)
+        # 4000-row groups: ~8 MB each, so a 64-way split still sees
+        # ~3 groups per partition (balanced), while the per-group
+        # decode overhead that 1000-row groups paid is gone — measured
+        # JVM scan 1.76 s -> 1.03 s on the 800k corpus, same values
+        write_documents_parquet(tmp, BENCH_DOCS, seed=7, row_group_rows=4000)
         os.replace(tmp, DOCS_PARQUET)
     return DOCS_PARQUET
 

@@ -106,7 +106,15 @@ def tree_merge(sketch_df, fanout: int = 16, direct_partitions: int = 256):
     Past the threshold (100 TB ⇒ ~10^5-10^6 scan partitions) the
     two-level shape engages: level 1 routes blobs round-robin to
     ≤fanout streaming folds executor-side, so the driver never pulls
-    more than fanout blobs."""
+    more than fanout blobs.
+
+    The threshold counts partitions, not bytes: with unusually large
+    per-partition states (an unsharded CuckooFilter sized for 10^8+
+    keys is ~2 B/key PER PARTIAL) the direct pull is p × state where
+    the tree pulls fanout × state — pass ``direct_partitions=0`` for
+    such builds, or better, use ``shard.build_sharded`` (the intended
+    giant-membership path: total state 2 B/key across ALL shards,
+    nothing merges globally)."""
     if sketch_df.rdd.getNumPartitions() <= direct_partitions:
         sk = None
         for r in sketch_df.select("state").collect():

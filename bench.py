@@ -28,7 +28,15 @@ if REPO not in os.environ["PYTHONPATH"].split(os.pathsep):
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "800000"))
-DOCS_PARQUET = os.path.join(REPO, ".bench", f"docs_{BENCH_DOCS}.parquet")
+# 4000-row groups: ~8 MB each, so a 64-way split still sees ~3 groups
+# per partition (balanced), while the per-group decode overhead that
+# 1000-row groups paid is gone — measured JVM scan 1.76 s -> 1.03 s on
+# the 800k corpus, same values. The layout is part of the cache KEY:
+# a stale pre-change file would silently keep measuring the old layout.
+ROW_GROUP_ROWS = 4000
+DOCS_PARQUET = os.path.join(
+    REPO, ".bench", f"docs_{BENCH_DOCS}_rg{ROW_GROUP_ROWS}.parquet"
+)
 
 
 def ensure_bench_docs() -> str:
@@ -37,11 +45,7 @@ def ensure_bench_docs() -> str:
         from sketchlib.datagen import write_documents_parquet
 
         tmp = DOCS_PARQUET + ".tmp"
-        # 4000-row groups: ~8 MB each, so a 64-way split still sees
-        # ~3 groups per partition (balanced), while the per-group
-        # decode overhead that 1000-row groups paid is gone — measured
-        # JVM scan 1.76 s -> 1.03 s on the 800k corpus, same values
-        write_documents_parquet(tmp, BENCH_DOCS, seed=7, row_group_rows=4000)
+        write_documents_parquet(tmp, BENCH_DOCS, seed=7, row_group_rows=ROW_GROUP_ROWS)
         os.replace(tmp, DOCS_PARQUET)
     return DOCS_PARQUET
 

@@ -75,6 +75,29 @@ def fold_groups_rdd(rdd, k: int, fold):
     return rdd.mapPartitionsWithIndex(route).partitionBy(k).values().mapPartitions(fold)
 
 
+def _direct_collect(frame):
+    """Collect a blob frame for a direct (driver-side) fold, turning a
+    ``spark.driver.maxResultSize`` rejection into actionable guidance.
+
+    The direct path gates on PARTITION count — a fine proxy for
+    build_sketches/build_web_sketches outputs (a handful of rows per
+    partition) but not for a blob table re-read from storage or
+    coalesced after a union, where few partitions can hold many
+    MB-scale rows. maxResultSize (default 1g) is the loud backstop for
+    that shape; the remedy is the executor-level path."""
+    try:
+        return frame.collect()
+    except Exception as e:  # pragma: no cover - env-sized threshold
+        if "maxResultSize" in str(e):
+            raise RuntimeError(
+                "direct merge collect exceeded spark.driver.maxResultSize — "
+                "this blob frame packs many rows per partition (re-read or "
+                "coalesced blob table?); pass direct_partitions=0 to use the "
+                "bounded executor-level merge instead"
+            ) from e
+        raise
+
+
 def _tree_fold_rdd(sketch_df, fanout: int):
     return fold_groups_rdd(
         sketch_df.select("part_id", "n_rows", "state").rdd, fanout, _fold_rows
@@ -117,7 +140,7 @@ def tree_merge(sketch_df, fanout: int = 16, direct_partitions: int = 256):
     nothing merges globally)."""
     if sketch_df.rdd.getNumPartitions() <= direct_partitions:
         sk = None
-        for r in sketch_df.select("state").collect():
+        for r in _direct_collect(sketch_df.select("state")):
             other = loads(bytes(r[0]))
             if sk is None:
                 sk = other

@@ -207,6 +207,16 @@ def merge_web_sketches(
     task/python-shuffle overhead at bench scale while buying memory
     bounds that only matter at 10^5+ scan partitions.
 
+    Two caveats, same as ``tree_merge``: the threshold counts
+    PARTITIONS (the right proxy for build outputs — n_names rows per
+    partition — but not for a blob table re-read from storage, where
+    few partitions can hold many rows: maxResultSize is the loud
+    backstop, ``direct_partitions=0`` the remedy), and it counts
+    neither BYTES nor names (at ``jobs/web_build_job.py``'s default
+    2 MB CMS width the direct pull is p × n_names × 2 MB — still
+    ≤ ~1.5 GB at the threshold, but size the driver accordingly or
+    lower the threshold for wider sketches).
+
     Past the threshold, level 1 routes the P×n_names blob rows round-robin to ≤fanout
     groups and STREAMS each group through a per-name running merge
     (RDD mapPartitions via merge.fold_groups_rdd — the deliberate
@@ -229,7 +239,9 @@ def merge_web_sketches(
     p = sketch_df.rdd.getNumPartitions()
     out: dict[str, object] = {}
     if p <= direct_partitions:
-        for row in sketch_df.select("sketch", "state").collect():
+        from .merge import _direct_collect
+
+        for row in _direct_collect(sketch_df.select("sketch", "state")):
             sk = loads(bytes(row[1]))
             if row[0] in out:
                 out[row[0]].merge(sk)

@@ -139,3 +139,31 @@ def test_tree_merge_direct_lineage_total_failures(spark):
         assert direct.count() + direct.insert_failures == 9
     finally:
         sk_df.unpersist()
+
+
+def test_tree_merge_direct_order_sensitive_sketches_valid(spark):
+    """KLL/t-digest merges are associative in DISTRIBUTION, not in
+    bytes — grouping order changes buffers, so direct-vs-tree byte
+    equality (pinned above for HLL/CMS) does NOT apply to them. Pin
+    instead what both paths must satisfy: the merged quantile estimate
+    lands within the sketch's rank-error bound of the exact value, on
+    the same frame, via BOTH depths."""
+    import numpy as np
+
+    from sketchlib.sketches import KLLSketch, TDigest
+    from sketchlib.spark import build_sketches, tree_merge
+
+    n = 20_000
+    vals = spark.createDataFrame(
+        [(float(i),) for i in range(n)], "v double"
+    ).repartition(8)
+    for factory in (lambda: KLLSketch(200), lambda: TDigest(100)):
+        sk_df = build_sketches(vals, "v", factory, numeric=True).persist()
+        try:
+            for sk in (tree_merge(sk_df), tree_merge(sk_df, fanout=3, direct_partitions=0)):
+                q = sk.quantile(0.5)
+                med = float(np.asarray(q).reshape(-1)[0])
+                # exact median of 0..n-1 is (n-1)/2; 2% rank tolerance
+                assert abs(med - (n - 1) / 2) <= 0.02 * n, (type(sk).__name__, med)
+        finally:
+            sk_df.unpersist()

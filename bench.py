@@ -102,16 +102,20 @@ def build_throughput(spark, docs_path: str, partitions: int, trials: int = 3) ->
         .where("member")
         .count()
     )
-    # probe throughput: every inserted url, routed + vectorized lookup
+    # probe throughput: every inserted url, routed + vectorized lookup;
+    # best-of-2 like the build trials — a single measurement under a
+    # contention window misreads capability by 1.5-2x (BENCH.md drift)
     present = spark.read.parquet(docs_path).select(F.col("url").alias("key"))
-    t0 = time.perf_counter()
-    n_member = (
-        probe_sharded(present, "key", num_shards=num_shards, index=idx)
-        .where("member")
-        .count()
-    )
-    probe_sec = time.perf_counter() - t0
-    assert n_member == n, "no-false-negative contract violated"
+    probe_sec = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n_member = (
+            probe_sharded(present, "key", num_shards=num_shards, index=idx)
+            .where("member")
+            .count()
+        )
+        probe_sec = min(probe_sec, time.perf_counter() - t0)
+        assert n_member == n, "no-false-negative contract violated"
     idx.destroy()
     return {
         "rows": n,

@@ -273,11 +273,15 @@ def minhash_dedup_pairs(
     )
     # materialize the (pair-scale) result so the signature cache can be
     # released now instead of leaking for the session's lifetime;
-    # checkpoint_dir opts into an executor-loss-safe reliable checkpoint
-    out = materialize(verified, checkpoint_dir)
-    sigs.unpersist()
-    if banded_base is not None:
-        banded_base.unpersist()
+    # checkpoint_dir opts into an executor-loss-safe reliable checkpoint.
+    # finally: a failed materialize must not leave the signature/band
+    # caches pinned across retries
+    try:
+        out = materialize(verified, checkpoint_dir)
+    finally:
+        sigs.unpersist()
+        if banded_base is not None:
+            banded_base.unpersist()
     return out
 
 

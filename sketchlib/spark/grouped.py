@@ -59,6 +59,11 @@ def build_grouped_sketches(
     else:
         salt_col = "key"
     salted = salt_grouped(df.select(*proj), "group_key", salt_buckets, row_key=salt_col)
+    if salt_col == "_salt_row_key":
+        # only needed to compute _salt — shipping a full row-key column
+        # (urls) through the stage-1 shuffle would roughly double its
+        # volume; the docstring's "dropped after" happens HERE
+        salted = salted.drop("_salt_row_key")
 
     def build_partial(pdf: pd.DataFrame) -> pd.DataFrame:
         sk = factory()

@@ -55,10 +55,15 @@ def stratified_hash_sample(
     for the same nulls-first reason as hash_sample."""
     from pyspark.sql.window import Window
 
+    # collision-safe internal name: withColumn would silently REPLACE a
+    # user column named "_rk" and the final drop would delete it
+    rk = "_rk"
+    while rk in df.columns:
+        rk = "_" + rk
     w = Window.partitionBy(group_col).orderBy(_hash_key(id_col), F.col(id_col))
     return (
         df.where(F.col(id_col).isNotNull())
-        .withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= k_per_group)
-        .drop("_rk")
+        .withColumn(rk, F.row_number().over(w))
+        .where(F.col(rk) <= k_per_group)
+        .drop(rk)
     )

@@ -24,6 +24,16 @@ def _norm(a):
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
 
 
+def _cosine(a, b):
+    """NaN-safe cosine: a zero-norm vector (padding row, failed
+    embedding job — routine in web corpora) scores 0.0, not NaN.
+    Spark sorts NaN as the LARGEST double and NaN >= t is true, so an
+    unguarded 0/0 would rank zero vectors FIRST in every top-k and
+    pass every similarity threshold."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(_dot(a, b) / denom)
+
+
 def cosine_topk_bruteforce(
     df: DataFrame,
     query_vec: list[float],
@@ -37,18 +47,21 @@ def cosine_topk_bruteforce(
     whole-stage-codegen projection over the scan, then a tree-reduced
     orderBy+limit — the right plan at any scale (no shuffle until the
     k-row reduction)."""
+    if not any(float(x) != 0.0 for x in query_vec):
+        raise ValueError("query_vec has zero norm — cosine similarity is undefined")
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = df.select(
-        id_col,
-        (
-            _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
-        ).alias("cosine_sim"),
-    )
+    scored = df.select(id_col, _cosine(F.col(vec_col), q).alias("cosine_sim"))
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
 
 
 def hyperplane_signature_udf(dim: int, bits: int = 16, seed: int = 42):
-    """vec → int signature: sign pattern against `bits` random planes."""
+    """vec → int signature: sign pattern against `bits` random planes.
+
+    ``bits`` is capped at 31: the signature column is int32, so bit 31+
+    would wrap negative while the driver-side `_query_signature` stays
+    non-negative — probes would silently never match."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in 1..31 (int32 signature column), got {bits}")
     rng = np.random.Generator(np.random.PCG64(seed))
     planes = rng.standard_normal((bits, dim)).astype(np.float32)
 
@@ -151,6 +164,12 @@ def probe_lsh_index(
     LSH index, then exact rerank. ``max_hamming = bits`` degenerates to
     an exhaustive (exact) scan of the index."""
     p = spark.read.parquet(f"{path}/params").first()
+    if len(query_vec) != p.dim:
+        # the planes are re-derived from (bits, len(query_vec)) — a
+        # wrong-dim query would silently probe unrelated buckets
+        raise ValueError(
+            f"query_vec has dim {len(query_vec)}, index was built at dim {p.dim}"
+        )
     qsig = _query_signature(query_vec, p.bits, p.seed)
     ball = _hamming_ball(qsig, p.bits, max_hamming)
     idx = spark.read.parquet(f"{path}/data").where(F.col("sig").isin(ball))
@@ -197,6 +216,10 @@ def ivf_train_centroids(
     )
     if len(rows) < k:  # tiny/unlucky sample: fall back to a direct take
         rows = df.select(vec_col).limit(sample).collect()
+    if not rows:
+        raise ValueError(
+            "cannot train IVF centroids: input has no rows (or no vectors)"
+        )
     x = np.array([r[0] for r in rows], np.float32)
     if len(x) > sample:
         trim_rng = np.random.Generator(np.random.PCG64(seed))
@@ -264,6 +287,11 @@ def banded_signature_udf(dim: int, bands: int = 12, bits_per_band: int = 6, seed
     in the high bits so keys from different bands never collide. The
     multi-band union is the LSH amplification that makes recall
     1-(1-p^b)^B instead of the single-table p^b."""
+    if not 1 <= bits_per_band <= 31:
+        raise ValueError(f"bits_per_band must be in 1..31, got {bits_per_band}")
+    if not 1 <= bands < (1 << 15):
+        # band index rides in bits 48+ of a signed int64 key
+        raise ValueError(f"bands must be in 1..32767, got {bands}")
     rng = np.random.Generator(np.random.PCG64(seed))
     planes = rng.standard_normal((bands * bits_per_band, dim)).astype(np.float32)
     weights = (1 << np.arange(bits_per_band, dtype=np.int64))[None, None, :]
@@ -319,22 +347,20 @@ def _lsh_candidate_pairs(
     )
     # materialize the (small) pair list so the banded frame's cache can
     # be released immediately instead of leaking for the session;
-    # checkpoint_dir opts into the executor-loss-safe reliable path
-    pairs = materialize(pairs, checkpoint_dir)
-    banded.unpersist()
+    # checkpoint_dir opts into the executor-loss-safe reliable path.
+    # finally: a failed materialize (checkpoint-dir quota/permission)
+    # must not leave the exploded band frame pinned across retries
+    try:
+        pairs = materialize(pairs, checkpoint_dir)
+    finally:
+        banded.unpersist()
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return propagate_materialized(
         pairs,
         pairs.join(va, "id_a")
         .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (_dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))).alias(
-                "cosine_sim"
-            ),
-        ),
+        .select("id_a", "id_b", _cosine(F.col("_va"), F.col("_vb")).alias("cosine_sim")),
     )
 
 

@@ -160,12 +160,23 @@ def cms_heavy_hitters(
 
     Scale shape: one zero-shuffle pass folds a partition-local CMS AND
     a partition-local candidate list (top candidate_factor*k by local
-    exact count — a superset guarantee heuristic for heavy hitters,
-    exact for any key whose global share exceeds one partition's
-    share); partial states then TREE-merge executor-side (groupBy
-    part_id % fanout, candidates unioned alongside), so the driver
-    sees ≤fanout blobs regardless of partition count. Rows shuffled:
-    fanout × (state + candidate list) — k-scale, not data-scale.
+    count — a superset heuristic for heavy hitters, exact for any key
+    whose global share exceeds one partition's share). The candidate
+    dict is BOUNDED: whenever it exceeds 32× the emitted size it is
+    pruned to the top 8× (Misra-Gries-style — a key must out-count the
+    retained tail to surface, which every partition-share heavy hitter
+    does; the pruned dict ranks candidates, the CMS supplies the final
+    estimates). Partial rows then merge like every other sketch frame:
+    ≤ ``merge.tree_merge``'s direct threshold → one collect + driver
+    fold; above it → ``merge.fold_groups_rdd`` streaming executor
+    folds (the groupBy().applyInPandas shape merge.py documents as the
+    multi-blob materialization anti-pattern is exactly what this
+    replaced). Rows shuffled: ≤fanout × (state + candidate list) —
+    k-scale, not data-scale.
+
+    Any key type is accepted — keys are cast to string up front (the
+    same canonicalization the CMS hash applies), so a bigint user_id
+    column works instead of crashing Arrow's array<string> emit.
 
     Returns list[(key, est_count)] sorted (est desc, key asc), length k.
     """
@@ -177,6 +188,9 @@ def cms_heavy_hitters(
     from ..sketches import CountMinSketch
 
     PARTIAL_SCHEMA = "part_id int, cand array<string>, state binary"
+    emit_n = candidate_factor * k
+    prune_keep = 8 * emit_n
+    prune_at = 32 * emit_n
 
     def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
@@ -199,7 +213,14 @@ def cms_heavy_hitters(
             cms.update(vc.field("values"), weights=cnts)
             for v, c in zip(vals, cnts):
                 counts[v] = counts.get(v, 0) + int(c)
-        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[: candidate_factor * k]
+            if len(counts) > prune_at:
+                # bound task memory: an exact dict over all distincts
+                # is O(partition vocabulary) — executor-OOM scale on
+                # web tokens — and defeats the sketch's purpose
+                counts = dict(
+                    sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:prune_keep]
+                )
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:emit_n]
         yield pa.RecordBatch.from_pydict(
             {
                 "part_id": [pid],
@@ -215,34 +236,45 @@ def cms_heavy_hitters(
             ),
         )
 
-    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        cms = loads(pdf["state"].iloc[0])
-        cands: set = set(pdf["cand"].iloc[0])
-        for i in range(1, len(pdf)):
-            cms.merge(loads(pdf["state"].iloc[i]))
-            cands.update(pdf["cand"].iloc[i])
-        return pd.DataFrame(
-            {
-                "part_id": [int(pdf["part_id"].min())],
-                "cand": [sorted(cands)],
-                "state": [cms.to_bytes()],
-            }
-        )
+    keys = df.select(F.col(key_col).cast("string").alias("key"))
+    partials = keys.mapInArrow(fold, PARTIAL_SCHEMA)
 
-    partials = df.select(key_col).mapInArrow(fold, PARTIAL_SCHEMA)
-    level1 = (
-        partials.withColumn("merge_group", F.pmod(F.col("part_id"), F.lit(fanout)))
-        .groupBy("merge_group")
-        .applyInPandas(merge_group, PARTIAL_SCHEMA)
-    )
-    rows = level1.collect()
+    def _fold_partial_rows(rows):
+        """Streaming per-row fold of (part_id, cand, state) tuples —
+        one running (cms, cand-set) per group, one incoming blob
+        resident at a time (same memory contract as merge._fold_rows)."""
+        cms = None
+        cands: set = set()
+        part_id = 0
+        for pid, cand, blob in rows:
+            other = loads(bytes(blob))
+            if cms is None:
+                cms, part_id = other, int(pid)
+            else:
+                cms.merge(other)
+                part_id = min(part_id, int(pid))
+            cands.update(cand)
+        if cms is not None:
+            yield (part_id, sorted(cands), cms.to_bytes())
+
+    from .merge import _direct_collect, fold_groups_rdd
+
+    p = partials.rdd.getNumPartitions()
+    if p <= 256:  # same crossover as merge.tree_merge
+        rows = _direct_collect(partials.select("part_id", "cand", "state"))
+    else:
+        rows = fold_groups_rdd(
+            partials.select("part_id", "cand", "state").rdd,
+            min(fanout, p),
+            _fold_partial_rows,
+        ).collect()
     if not rows:
         return []
-    cms = loads(rows[0].state)
-    cands = set(rows[0].cand)
+    cms = loads(bytes(rows[0][2]))
+    cands = set(rows[0][1])
     for r in rows[1:]:
-        cms.merge(loads(r.state))
-        cands.update(r.cand)
+        cms.merge(loads(bytes(r[2])))
+        cands.update(r[1])
     cand_list = sorted(cands)
     est = cms.estimate(cand_list)
     ranked = sorted(zip(cand_list, est), key=lambda kv: (-int(kv[1]), kv[0]))

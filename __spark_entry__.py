@@ -977,9 +977,7 @@ def q_streaming_stateful(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("stateful replay did not finish within 300s")
+    _await_or_raise(q, "stateful")
     # availableNow on one file = one micro-batch ⇒ one (final) row per key
     est = spark.table(sink).select(
         F.col("key").alias("user_id"), "estimate"

@@ -40,6 +40,59 @@ def _shard_col(key_col: str, num_shards: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_shards)).cast("int")
 
 
+# shard routing keys are a pure function of (num_shards) — Spark's
+# murmur3 is fixed — so the tiny discovery job runs once per size
+_ROUTE_KEYS: dict[int, list[int]] = {}
+
+
+def _identity_route_keys(spark, n: int) -> list[int]:
+    """Routing keys k_0..k_{n-1} with ``pmod(hash(k_i), n) == i``.
+
+    ``repartition(n, "shard_id")`` hash-partitions the shard id with
+    murmur3, which is NOT the identity: several shards collide into one
+    task while others sit empty, so a task holds 2-3 full per-shard
+    filters at once — breaking the 'exactly one task per shard /
+    per-task memory = one shard' contract this module exists for.
+    Routing through a key whose murmur3 pmod IS the shard id restores
+    the 1:1 layout. Keys are discovered with one tiny driver job
+    (coupon-collector over spark.range; murmur3 evaluated by Spark
+    itself so it can never drift from the engine's partitioner)."""
+    cached = _ROUTE_KEYS.get(n)
+    if cached is not None:
+        return cached
+    found: dict[int, int] = {}
+    start, step = 0, max(64 * n, 1024)
+    while len(found) < n:
+        rows = (
+            spark.range(start, start + step)
+            .select(F.col("id"), F.pmod(F.hash("id"), F.lit(n)).alias("p"))
+            .collect()
+        )
+        for r in rows:
+            found.setdefault(int(r.p), int(r.id))
+        start += step
+    keys = [found[i] for i in range(n)]
+    _ROUTE_KEYS[n] = keys
+    return keys
+
+
+def _route_by_shard(keyed: DataFrame, num_shards: int) -> DataFrame:
+    """Exchange into EXACTLY one partition per shard (see
+    _identity_route_keys); the helper column is dropped after."""
+    route = _identity_route_keys(keyed.sparkSession, num_shards)
+    mapping = F.create_map(
+        *[x for i, k in enumerate(route) for x in (F.lit(i), F.lit(k))]
+    )
+    return (
+        # cast matters: murmur3 hashes int32 and int64 differently, and
+        # the discovery job hashed LONGs (spark.range ids) — an int32
+        # literal here would re-collide the routing
+        keyed.withColumn("_route", mapping[F.col("shard_id").cast("int")].cast("long"))
+        .repartition(num_shards, "_route")
+        .drop("_route")
+    )
+
+
 def build_sharded(
     df: DataFrame,
     key_col: str,
@@ -78,8 +131,10 @@ def build_sharded(
     keyed = df.select(F.col(key_col).alias("key")).withColumn(
         "shard_id", _shard_col("key", num_shards)
     )
-    # one shuffle, keyed exactly by shard
-    keyed = keyed.repartition(num_shards, "shard_id")
+    # one shuffle, EXACTLY one partition per shard (identity routing —
+    # plain repartition on shard_id murmur3-collides shards into shared
+    # tasks, multiplying per-task filter memory; see _identity_route_keys)
+    keyed = _route_by_shard(keyed, num_shards)
 
     def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import os
@@ -117,7 +172,12 @@ def build_sharded(
                 if sid_i in resumed:
                     continue  # shard already published: skip the fold
                 mask = shards == sid
-                f = filters.setdefault(sid_i, factory())
+                # NOT setdefault(sid_i, factory()): setdefault evaluates
+                # its default eagerly, allocating (and discarding) a
+                # full-size filter table per Arrow batch on the hot path
+                f = filters.get(sid_i)
+                if f is None:
+                    f = filters[sid_i] = factory()
                 # factory protocol: cuckoo-style insert_batch, else the
                 # MergeableSketch update (Bloom/HLL/... shard the same way)
                 ins = getattr(f, "insert_batch", None) or f.update
@@ -158,6 +218,26 @@ def build_sharded(
 
 
 _SHARD_COLS = ["shard_id", "n_rows", "item_count", "fail_count", "load_factor", "state"]
+
+# worker-level deserialized-shard cache for the broadcast probe path:
+# the docstring promises 'each worker deserializes a shard at most once
+# per call', but a per-task dict re-deserializes every shard for every
+# input partition (200 probe partitions × 8 shards = 1600 multi-MB
+# loads). Keyed by (JVM broadcast id, shard id) — broadcast ids are
+# unique per context and never reused, so a destroyed index can't alias
+# a later one. Bounded so destroyed indexes can't pin worker memory.
+_PROBE_DESER_CACHE: dict[tuple[int, int], object] = {}
+_PROBE_DESER_CACHE_MAX = 512
+
+
+def _shard_from(bid: int, sid: int, blob: bytes) -> object:
+    f = _PROBE_DESER_CACHE.get((bid, sid))
+    if f is None:
+        f = loads(blob)
+        while len(_PROBE_DESER_CACHE) >= _PROBE_DESER_CACHE_MAX:
+            _PROBE_DESER_CACHE.pop(next(iter(_PROBE_DESER_CACHE)))
+        _PROBE_DESER_CACHE[(bid, sid)] = f
+    return f
 
 
 def delete_sharded(
@@ -340,9 +420,12 @@ def probe_sharded(
             if index is not None
             else ShardedProbeIndex.from_shards(shard_df).broadcast
         )
+        # driver-side JVM broadcast id: the worker-level deser cache key
+        # (unique per context, never reused — the same contract as
+        # udfs._DESER_CACHE; id(bc) would alias after GC address reuse)
+        bid = bc._jbroadcast.id()
 
         def probe_batches(batches):
-            cache: dict[int, object] = {}
             for pdf in batches:
                 member = np.zeros(len(pdf), bool)
                 if len(pdf):
@@ -350,10 +433,7 @@ def probe_sharded(
                         blob = bc.value.get(int(sid))
                         if blob is None:
                             continue  # empty shard: member stays False
-                        f = cache.get(int(sid))
-                        if f is None:
-                            f = loads(blob)
-                            cache[int(sid)] = f
+                        f = _shard_from(bid, int(sid), blob)
                         fn = getattr(f, "lookup_batch", None) or f.contains
                         member[idx] = np.asarray(fn(pdf[key_col].iloc[idx]), bool)
                 out = pdf.copy()

@@ -27,53 +27,87 @@ class IncrementalSketchBuilder:
     would double-insert every fingerprint). The last applied batch_id
     is therefore persisted in the same atomic write as the state, and
     a replayed (<= last) batch id is a no-op — same recipe as the
-    sharded streaming sink's epoch check."""
+    sharded streaming sink's epoch check.
 
-    _MAGIC = b"ISB1"  # state-file header: magic + 8-byte last batch id
+    The guard is LINEAGE-SCOPED: batch ids are only monotonic within
+    one streaming checkpoint, so the state file also records a hash of
+    the checkpoint location (stamped by ``attach``). Re-attaching the
+    same state_path under a NEW checkpoint restarts batch numbering at
+    0 — an unscoped ``batch_id <= last`` guard would silently DISCARD
+    the new query's first ``last+1`` batches of fresh data. On a
+    lineage change the accumulated sketch is kept and numbering resets;
+    note a brand-new checkpoint re-reads whatever its source options
+    say, so pair a state-preserving re-attach with a source position
+    that doesn't re-deliver already-folded data."""
+
+    _MAGIC = b"ISB1"  # legacy header: magic + 8-byte last batch id
+    _MAGIC2 = b"ISB2"  # magic + 8-byte batch id + 8-byte lineage hash
 
     def __init__(self, factory, key_col: str, state_path: str):
         self.factory = factory
         self.key_col = key_col
         self.state_path = state_path
+        self._lineage = 0  # 0 = unknown (manual process_batch calls)
 
-    def _read(self):
-        """→ (last_applied_batch_id, sketch). Legacy headerless files
-        (pre-batch-id format) load as batch −1: replay protection
-        starts from the next write."""
+    @staticmethod
+    def _lineage_hash(checkpoint_dir: str) -> int:
+        import hashlib
+
+        h = hashlib.sha256(checkpoint_dir.encode()).digest()
+        return int.from_bytes(h[:8], "little", signed=False) or 1
+
+    def _read_raw(self):
+        """→ (last_applied_batch_id, lineage_hash, state_blob | None).
+        Header-only callers never pay sketch deserialization. Legacy
+        headerless files load as batch −1 / lineage 0."""
         if os.path.exists(self.state_path):
             with open(self.state_path, "rb") as fh:
                 raw = fh.read()
+            if raw[:4] == self._MAGIC2:
+                bid = int.from_bytes(raw[4:12], "little", signed=True)
+                lin = int.from_bytes(raw[12:20], "little", signed=False)
+                return bid, lin, raw[20:]
             if raw[:4] == self._MAGIC:
                 bid = int.from_bytes(raw[4:12], "little", signed=True)
-                return bid, loads(raw[12:])
-            return -1, loads(raw)
-        return -1, self.factory()
+                return bid, 0, raw[12:]
+            return -1, 0, raw
+        return -1, 0, None
 
     def current(self):
-        return self._read()[1]
+        blob = self._read_raw()[2]
+        return loads(blob) if blob is not None else self.factory()
 
     def last_batch_id(self) -> int:
-        return self._read()[0]
+        return self._read_raw()[0]
 
     def process_batch(self, batch_df, batch_id: int) -> None:
-        last, state = self._read()
-        if batch_id <= last:
+        last, stored_lineage, blob = self._read_raw()
+        same_lineage = (
+            self._lineage == 0 or stored_lineage == 0 or stored_lineage == self._lineage
+        )
+        if same_lineage and batch_id <= last:
             return  # replayed micro-batch: already folded into state
+        state = loads(blob) if blob is not None else self.factory()
         delta = tree_merge(build_sketches(batch_df, self.key_col, self.factory))
         if delta is not None:
             state = state.merge(delta)
         # even for an empty delta, persist the advanced batch id so a
         # replay of THIS batch after a later crash stays a no-op
+        lineage = self._lineage or stored_lineage
         tmp = f"{self.state_path}.tmp-{batch_id}"
         with open(tmp, "wb") as fh:
             fh.write(
-                self._MAGIC
+                self._MAGIC2
                 + batch_id.to_bytes(8, "little", signed=True)
+                + lineage.to_bytes(8, "little", signed=False)
                 + state.to_bytes()
             )
         os.replace(tmp, self.state_path)  # atomic per-batch checkpoint
 
     def attach(self, stream_df, checkpoint_dir: str, trigger_once: bool = True):
+        # stamp the lineage so the replay guard is scoped to THIS
+        # checkpoint's batch numbering (see class docstring)
+        self._lineage = self._lineage_hash(checkpoint_dir)
         writer = (
             stream_df.writeStream.outputMode("update")
             .foreachBatch(self.process_batch)

@@ -22,7 +22,6 @@ Scale notes (100 TB / 10^12 docs):
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable, Iterator
 
 import pyarrow as pa
@@ -91,16 +90,42 @@ def build_sketches(
     inputs).
     """
 
+    if checkpoint_dir:
+        # resume is only valid against the SAME build: sketch kind, key
+        # column, value dtype AND partition count (partition ids are
+        # the lineage key — a changed maxPartitionBytes remaps rows to
+        # ids, silently double-counting/dropping on resume). Fingerprint
+        # the dir once, loudly reject mismatches.
+        from .checkpoint import ensure_checkpoint_meta
+
+        sel = df.select(key_col)
+        ensure_checkpoint_meta(
+            df.sparkSession,
+            checkpoint_dir,
+            {
+                "op": "build_sketches",
+                "kind": type(factory()).__name__,
+                "key_col": key_col,
+                "numeric": bool(numeric),
+                "partitions": sel.rdd.getNumPartitions(),
+            },
+        )
+
     def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
 
+        from . import taskfs
+
         pid = TaskContext.get().partitionId()
         if checkpoint_dir:
-            done = os.path.join(checkpoint_dir, f"part-{pid:05d}.arrow")
-            if os.path.exists(done):
-                with pa.memory_map(done) as src:
-                    table = pa.ipc.open_file(src).read_all()
-                for rb in table.to_batches():
+            # executor-side IO goes through pyarrow.fs — tasks have no
+            # JVM, and os.path on an hdfs://-s3a:// dir silently writes
+            # executor-LOCAL files (resume would never fire). See
+            # sketchlib/spark/taskfs.py.
+            fs, base = taskfs.task_fs(checkpoint_dir)
+            done = f"{base.rstrip('/')}/part-{pid:05d}.arrow"
+            if taskfs.exists(fs, done):
+                for rb in taskfs.read_ipc_table(fs, done).to_batches():
                     yield rb
                 return
         sk = factory()
@@ -116,17 +141,16 @@ def build_sketches(
         if checkpoint_dir:
             import uuid
 
-            os.makedirs(checkpoint_dir, exist_ok=True)
-            # attempt-unique tmp: speculative/retry attempts must not
-            # interleave writes into one file; rename stays atomic
-            tmp = os.path.join(
-                checkpoint_dir, f".part-{pid:05d}.tmp-{uuid.uuid4().hex[:8]}"
+            # attempt-unique tmp + move = atomic publish (lineage
+            # record); orphaned tmps of dead attempts are GC'd inside
+            taskfs.publish_ipc_batch(
+                fs,
+                base,
+                f".part-{pid:05d}.tmp-{uuid.uuid4().hex[:8]}",
+                f"part-{pid:05d}.arrow",
+                _SKETCH_PA_SCHEMA,
+                out,
             )
-            done = os.path.join(checkpoint_dir, f"part-{pid:05d}.arrow")
-            with pa.OSFile(tmp, "wb") as sink:
-                with pa.ipc.new_file(sink, _SKETCH_PA_SCHEMA) as w:
-                    w.write_batch(out)
-            os.rename(tmp, done)  # atomic publish = lineage record
         yield out
 
     return df.select(key_col).mapInArrow(fold, SKETCH_ROW_SCHEMA)

@@ -7,8 +7,14 @@ Two granularities:
   recomputing (the anti-join on completed lineage happens implicitly
   by file existence, with identical input partitioning guaranteed by
   deterministic parquet splits under fixed maxPartitionBytes).
-* run-level: ``run_with_lineage`` — stage results land in a parquet
-  dir + manifest; a resumed run short-circuits completed stages.
+* run-level: the ``mark_stage_done`` / ``stage_done`` manifest
+  primitives — a resumed job checks ``stage_done`` and short-circuits
+  completed stages (see jobs/web_build_job.py for the usage shape).
+
+Paths may be URIs (hdfs://, s3a://): every driver-side helper routes
+through the session's Hadoop FileSystem when given a session; the
+executor-side partition/shard files use pyarrow.fs (taskfs.py) because
+tasks have no JVM.
 """
 
 from __future__ import annotations
@@ -19,16 +25,38 @@ import time
 
 from pyspark.sql import DataFrame
 
+from .fsio import _fs_path, read_bytes, write_text
+
 
 def _delete_fs_path(session, path: str) -> None:
     """Recursively delete ``path`` through the Hadoop FileSystem API
     (hdfs://-capable, exists-guarded no-op)."""
-    jvm = session.sparkContext._jvm
-    conf = session.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(conf)
+    fs, p = _fs_path(session, path)
     if fs.exists(p):
         fs.delete(p, True)
+
+
+def ensure_checkpoint_meta(session, checkpoint_dir: str, meta: dict) -> None:
+    """Fingerprint a checkpoint dir against the build that writes it.
+
+    Resume-by-file-existence is only sound for the SAME build: a dir
+    left by a different sketch kind / key column / partitioning would
+    silently re-emit foreign rows (HLL states merged as CMS, or rows
+    double-counted under a changed partition map). First use writes
+    ``_meta.json``; later uses validate and raise on ANY mismatch —
+    pass a fresh dir (or delete the stale one) to rebuild."""
+    path = f"{checkpoint_dir.rstrip('/')}/_meta.json"
+    fs, p = _fs_path(session, path)
+    if fs.exists(p):
+        stored = json.loads(read_bytes(session, path).decode())
+        if stored != meta:
+            raise ValueError(
+                f"checkpoint dir {checkpoint_dir} was written by a different "
+                f"build: stored {stored}, current {meta}; resume would merge "
+                "mismatched states — use a fresh dir or delete the stale one"
+            )
+        return
+    write_text(session, path, json.dumps(meta, sort_keys=True))
 
 
 def materialize(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
@@ -102,33 +130,68 @@ def drop_materialized(df: DataFrame) -> None:
     _delete_fs_path(df.sparkSession, path)
 
 
-def lineage_manifest(checkpoint_dir: str) -> dict:
-    path = os.path.join(checkpoint_dir, "_lineage.json")
+def _require_local(checkpoint_dir: str, fn: str) -> None:
+    """The os.path fallback only speaks the driver's local disk — a
+    URI would silently create a literal local 's3a:'/'hdfs:' directory
+    (the exact failure fsio.py documents) and the manifest would never
+    reach the real store."""
+    if "://" in checkpoint_dir:
+        raise ValueError(
+            f"{fn} on a URI checkpoint dir needs the SparkSession: pass "
+            "spark= so the manifest goes through the Hadoop FileSystem"
+        )
+
+
+def lineage_manifest(checkpoint_dir: str, spark=None) -> dict:
+    path = f"{checkpoint_dir.rstrip('/')}/_lineage.json"
+    if spark is not None:
+        fs, p = _fs_path(spark, path)
+        if fs.exists(p):
+            return json.loads(read_bytes(spark, path).decode())
+        return {"stages": {}}
+    _require_local(checkpoint_dir, "lineage_manifest")
     if os.path.exists(path):
         with open(path) as fh:
             return json.load(fh)
     return {"stages": {}}
 
 
-def mark_stage_done(checkpoint_dir: str, stage: str, meta: dict | None = None) -> None:
-    os.makedirs(checkpoint_dir, exist_ok=True)
-    m = lineage_manifest(checkpoint_dir)
+def mark_stage_done(
+    checkpoint_dir: str, stage: str, meta: dict | None = None, spark=None
+) -> None:
+    m = lineage_manifest(checkpoint_dir, spark=spark)
     m["stages"][stage] = {"done_at": time.time(), **(meta or {})}
+    if spark is not None:
+        # FileSystem.create is an atomic-enough single-writer replace
+        # for a driver-side manifest (one writer: the driver)
+        write_text(spark, f"{checkpoint_dir.rstrip('/')}/_lineage.json", json.dumps(m))
+        return
+    _require_local(checkpoint_dir, "mark_stage_done")
+    os.makedirs(checkpoint_dir, exist_ok=True)
     tmp = os.path.join(checkpoint_dir, "_lineage.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(m, fh)
     os.replace(tmp, os.path.join(checkpoint_dir, "_lineage.json"))
 
 
-def stage_done(checkpoint_dir: str, stage: str) -> bool:
-    return stage in lineage_manifest(checkpoint_dir)["stages"]
+def stage_done(checkpoint_dir: str, stage: str, spark=None) -> bool:
+    return stage in lineage_manifest(checkpoint_dir, spark=spark)["stages"]
 
 
-def completed_partitions(checkpoint_dir: str) -> list[int]:
-    if not os.path.isdir(checkpoint_dir):
-        return []
+def completed_partitions(checkpoint_dir: str, spark=None) -> list[int]:
+    names: list[str]
+    if spark is not None:
+        fs, p = _fs_path(spark, checkpoint_dir)
+        if not fs.exists(p):
+            return []
+        names = [st.getPath().getName() for st in fs.listStatus(p)]
+    else:
+        _require_local(checkpoint_dir, "completed_partitions")
+        if not os.path.isdir(checkpoint_dir):
+            return []
+        names = os.listdir(checkpoint_dir)
     return sorted(
         int(f[len("part-") : -len(".arrow")])
-        for f in os.listdir(checkpoint_dir)
+        for f in names
         if f.startswith("part-") and f.endswith(".arrow")
     )

@@ -136,8 +136,25 @@ def build_sharded(
     # tasks, multiplying per-task filter memory; see _identity_route_keys)
     keyed = _route_by_shard(keyed, num_shards)
 
+    if checkpoint_dir:
+        # shard→rows assignment is the key hash (stable across input
+        # partitioning), so the fingerprint pins kind/shards/key —
+        # but NOT partition count, which may legitimately change
+        from .checkpoint import ensure_checkpoint_meta
+
+        ensure_checkpoint_meta(
+            df.sparkSession,
+            checkpoint_dir,
+            {
+                "op": "build_sharded",
+                "kind": type(factory()).__name__,
+                "key_col": key_col,
+                "num_shards": int(num_shards),
+            },
+        )
+
     def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        import os
+        from . import taskfs
 
         out_schema = pa.schema(
             [
@@ -153,8 +170,15 @@ def build_sharded(
         counts: dict[int, int] = {}
         resumed: dict[int, pa.Table] = {}
 
+        # executor-side IO via pyarrow.fs (tasks have no JVM; os.path on
+        # an hdfs://-s3a:// dir writes executor-LOCAL files and resume
+        # silently never fires) — see sketchlib/spark/taskfs.py
+        ck_fs = ck_base = None
+        if checkpoint_dir:
+            ck_fs, ck_base = taskfs.task_fs(checkpoint_dir)
+
         def ckpt_path(sid: int) -> str:
-            return os.path.join(checkpoint_dir, f"shard-{sid:06d}.arrow")
+            return f"{ck_base.rstrip('/')}/shard-{sid:06d}.arrow"
 
         for rb in batches:
             keys = rb.column("key")
@@ -166,9 +190,8 @@ def build_sharded(
                 sid_i = int(sid)
                 if checkpoint_dir and sid_i not in resumed and sid_i not in filters:
                     p = ckpt_path(sid_i)
-                    if os.path.exists(p):
-                        with pa.memory_map(p) as src:
-                            resumed[sid_i] = pa.ipc.open_file(src).read_all()
+                    if taskfs.exists(ck_fs, p):
+                        resumed[sid_i] = taskfs.read_ipc_table(ck_fs, p)
                 if sid_i in resumed:
                     continue  # shard already published: skip the fold
                 mask = shards == sid
@@ -200,18 +223,17 @@ def build_sharded(
             if checkpoint_dir:
                 import uuid
 
-                os.makedirs(checkpoint_dir, exist_ok=True)
-                # attempt-unique tmp: concurrent speculative/retry
-                # attempts must never interleave writes into one file;
-                # rename stays atomic and last-writer-wins is safe
-                # (attempts produce identical bytes)
-                tmp = os.path.join(
-                    checkpoint_dir, f".shard-{sid:06d}.tmp-{uuid.uuid4().hex[:8]}"
+                # attempt-unique tmp + move = atomic publish; identical
+                # bytes per attempt make last-writer-wins safe; dead
+                # attempts' orphaned tmps are GC'd inside
+                taskfs.publish_ipc_batch(
+                    ck_fs,
+                    ck_base,
+                    f".shard-{sid:06d}.tmp-{uuid.uuid4().hex[:8]}",
+                    f"shard-{sid:06d}.arrow",
+                    out_schema,
+                    out,
                 )
-                with pa.OSFile(tmp, "wb") as sink:
-                    with pa.ipc.new_file(sink, out_schema) as w:
-                        w.write_batch(out)
-                os.rename(tmp, ckpt_path(sid))  # atomic publish = lineage record
             yield out
 
     return keyed.mapInArrow(fold, SHARD_SCHEMA)

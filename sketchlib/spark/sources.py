@@ -38,6 +38,10 @@ def read_pages(
         if snapshot_id is not None:
             reader = reader.option("snapshot-id", str(snapshot_id))
         return reader.load(source)
+    if snapshot_id is not None:
+        # silently dropping the pin would hand resume code an UNPINNED
+        # read: checkpointed partitions could cover different rows
+        raise ValueError("snapshot_id requires fmt='iceberg'")
     return spark.read.format(fmt).load(source)
 
 

@@ -639,7 +639,8 @@ def test_sharded_build_checkpoint_resume(spark, docs_df, tmp_path):
     ck = str(tmp_path / "shard-ck")
     first = build_sharded(keys, "key", num_shards=4, cfg=_cfg(), checkpoint_dir=ck)
     rows1 = {r.shard_id: bytes(r.state) for r in first.collect()}
-    assert len(os.listdir(ck)) == 4  # one published row per shard
+    # one published row per shard (plus the _meta.json fingerprint)
+    assert len([f for f in os.listdir(ck) if f.endswith(".arrow")]) == 4
     resumed = build_sharded(keys, "key", num_shards=4, cfg=_cfg(), checkpoint_dir=ck)
     rows2 = {r.shard_id: bytes(r.state) for r in resumed.collect()}
     assert rows1 == rows2  # byte-identical resume
@@ -649,7 +650,7 @@ def test_sharded_build_checkpoint_resume(spark, docs_df, tmp_path):
     partial = build_sharded(keys, "key", num_shards=4, cfg=_cfg(), checkpoint_dir=ck)
     rows3 = {r.shard_id: bytes(r.state) for r in partial.collect()}
     assert rows3 == rows1  # deterministic rebuild matches the original
-    assert len(os.listdir(ck)) == 4  # record republished
+    assert len([f for f in os.listdir(ck) if f.endswith(".arrow")]) == 4  # republished
 
 
 def test_sharded_empty_shards_probe_and_delete(spark):

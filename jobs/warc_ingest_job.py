@@ -82,7 +82,12 @@ def main() -> None:
     ).select(
         F.unhex(F.md5("text")).alias("_th"),
         F.struct(
-            "url", "warc_ts", "lang", "text", token_count("text").alias("n_tokens")
+            # unicode=True: Python str.split semantics — Java's ASCII
+            # \s would glue '&nbsp;'-separated tokens, undercounting
+            # n_tokens and silently dropping docs at the min-tokens
+            # floor (same (?U) divergence web_build_job documents)
+            "url", "warc_ts", "lang", "text",
+            token_count("text", unicode=True).alias("n_tokens"),
         ).alias("m"),
     )
     corpus = (

@@ -42,6 +42,88 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
+
+def _build_fixed(spark, docs, args):
+    """The fixed-size sketch half (hll/cms/kll): checkpointed per-sketch
+    builds with per-partition lineage when --checkpoint is set, else the
+    fused one-pass build. Same fixed/{hll,cms,kll}.bin contract either
+    way; the checkpointed CMS builds over exploded tokens because
+    build_sketches folds one column per pass — trading the fused fold's
+    value_counts map-side combine for per-partition resumability."""
+    import os
+
+    from sketchlib.sketches import CountMinSketch, HyperLogLog, KLLSketch
+    from sketchlib.spark.build import build_sketches
+    from sketchlib.spark.merge import tree_merge
+    from sketchlib.spark.webbuild import build_web_sketches, merge_web_sketches
+
+    if not args.checkpoint:
+        return merge_web_sketches(
+            build_web_sketches(
+                docs,
+                {
+                    "hll": lambda: HyperLogLog(14),
+                    "cms": lambda: CountMinSketch(width=args.cms_width, depth=4),
+                    "kll": lambda: KLLSketch(200),
+                },
+            )
+        )
+    from pyspark.sql import functions as F
+
+    # (?U) = Java UNICODE_CHARACTER_CLASS, so \S complements the
+    # Unicode White_Space set — the same set Arrow's
+    # utf8_split_whitespace uses in the fused path. Without it,
+    # Java \s is ASCII-only and a scraped '&nbsp;' (U+00A0) glues
+    # two tokens together, making cms.bin counts depend on whether
+    # --checkpoint was passed (tokenizer-parity pytest pins this).
+    toks = docs.select(
+        F.explode(
+            F.expr("regexp_extract_all(coalesce(text,''), '(?U)\\\\S+', 0)")
+        ).alias("tok")
+    )
+    # the three sketches are independent full scans — build them
+    # concurrently (driver threads) instead of serially
+    from concurrent.futures import ThreadPoolExecutor
+
+    def hll():
+        return tree_merge(
+            build_sketches(
+                docs.select("url"),
+                "url",
+                lambda: HyperLogLog(14),
+                checkpoint_dir=os.path.join(args.checkpoint, "hll"),
+            )
+        )
+
+    def cms():
+        return tree_merge(
+            build_sketches(
+                toks,
+                "tok",
+                lambda: CountMinSketch(width=args.cms_width, depth=4),
+                checkpoint_dir=os.path.join(args.checkpoint, "cms"),
+            )
+        )
+
+    def kll():
+        return tree_merge(
+            build_sketches(
+                docs.select(F.length("text").cast("double").alias("v")),
+                "v",
+                lambda: KLLSketch(200),
+                checkpoint_dir=os.path.join(args.checkpoint, "kll"),
+                numeric=True,
+            )
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        futs = {"hll": ex.submit(hll), "cms": ex.submit(cms), "kll": ex.submit(kll)}
+        fixed = {k: f.result() for k, f in futs.items()}
+    # empty partitions yield no sketch rows: drop None merges so both
+    # branches return the same {present names} shape
+    return {k: v for k, v in fixed.items() if v is not None}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="parquet dir of web pages")
@@ -57,85 +139,49 @@ def main() -> None:
     spark = SparkSession.builder.appName("sketchlib-web-build").getOrCreate()
 
     from sketchlib.config import CuckooConfig
-    from sketchlib.sketches import CountMinSketch, HyperLogLog, KLLSketch
-    from sketchlib.spark.build import build_sketches
-    from sketchlib.spark.merge import tree_merge
     from sketchlib.spark.shard import build_sharded
-    from sketchlib.spark.webbuild import build_web_sketches, merge_web_sketches
 
     docs = spark.read.parquet(args.input)
     n = docs.count()
     t0 = time.time()
 
-    if args.checkpoint:
-        # checkpointed path: per-sketch builds with per-partition
-        # lineage. Same three-sketch contract as the fused path below
-        # (fixed/{hll,cms,kll}.bin) — the CMS builds over exploded
-        # tokens here because build_sketches folds one column per pass;
-        # that trades the fused fold's value_counts map-side combine
-        # for per-partition resumability.
-        from pyspark.sql import functions as F
+    def fixed_job():
+        return _build_fixed(spark, docs, args)
 
-        # (?U) = Java UNICODE_CHARACTER_CLASS, so \S complements the
-        # Unicode White_Space set — the same set Arrow's
-        # utf8_split_whitespace uses in the fused path. Without it,
-        # Java \s is ASCII-only and a scraped '&nbsp;' (U+00A0) glues
-        # two tokens together, making cms.bin counts depend on whether
-        # --checkpoint was passed (tokenizer-parity pytest pins this).
-        toks = docs.select(
-            F.explode(
-                F.expr("regexp_extract_all(coalesce(text,''), '(?U)\\\\S+', 0)")
-            ).alias("tok")
-        )
-        fixed = {
-            "hll": tree_merge(
-                build_sketches(
-                    docs.select("url"),
-                    "url",
-                    lambda: HyperLogLog(14),
-                    checkpoint_dir=os.path.join(args.checkpoint, "hll"),
-                )
-            ),
-            "cms": tree_merge(
-                build_sketches(
-                    toks,
-                    "tok",
-                    lambda: CountMinSketch(width=args.cms_width, depth=4),
-                    checkpoint_dir=os.path.join(args.checkpoint, "cms"),
-                )
-            ),
-            "kll": tree_merge(
-                build_sketches(
-                    docs.select(F.length("text").cast("double").alias("v")),
-                    "v",
-                    lambda: KLLSketch(200),
-                    checkpoint_dir=os.path.join(args.checkpoint, "kll"),
-                    numeric=True,
-                )
-            ),
-        }
-        # empty partitions yield no sketch rows: drop None merges so
-        # both branches return the same {present names} shape
-        fixed = {k: v for k, v in fixed.items() if v is not None}
-    else:
-        fixed = merge_web_sketches(
-            build_web_sketches(
-                docs,
-                {
-                    "hll": lambda: HyperLogLog(14),
-                    "cms": lambda: CountMinSketch(width=args.cms_width, depth=4),
-                    "kll": lambda: KLLSketch(200),
-                },
+    def shard_job():
+        # dedup BEFORE the membership build: a recrawl corpus repeats
+        # urls, and >2×bucket_size (8) copies of one url exhaust its
+        # two buckets regardless of capacity — unavoidable insert
+        # failures that would abort the job below (warc_ingest_job
+        # dedups for the same documented reason). Sizing comes from
+        # the persisted distinct set, not raw row count.
+        from pyspark import StorageLevel
+
+        urls = docs.select("url").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            n_urls = urls.count()
+            cfg = CuckooConfig(
+                capacity=max(int(n_urls * 1.1), 1024),
+                fingerprint_bits=args.fingerprint_bits,
+                hash_strategy="xx",
             )
-        )
+            shard_df = build_sharded(urls, "url", args.shards, cfg=cfg)
+            shard_df.write.mode("overwrite").parquet(
+                os.path.join(args.output, "shards")
+            )
+        finally:
+            urls.unpersist()
 
-    cfg = CuckooConfig(
-        capacity=max(int(n * 1.1), 1024),
-        fingerprint_bits=args.fingerprint_bits,
-        hash_strategy="xx",
-    )
-    shard_df = build_sharded(docs.select("url"), "url", args.shards, cfg=cfg)
-    shard_df.write.mode("overwrite").parquet(os.path.join(args.output, "shards"))
+    # the two jobs are independent — submit them concurrently (driver
+    # threads; Spark's scheduler interleaves their tasks), the same
+    # shape build_web_pipeline implements: the url shuffle overlaps the
+    # CPU-bound token hashing
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_fixed, f_shard = ex.submit(fixed_job), ex.submit(shard_job)
+        fixed = f_fixed.result()
+        f_shard.result()
     build_sec = time.time() - t0
 
     shards = spark.read.parquet(os.path.join(args.output, "shards"))

@@ -100,7 +100,10 @@ class KLLSketch(MergeableSketch):
                     )
                     self.compactors[h] = np.empty(0, np.float64)
                     break
-            else:  # no level exceeded capacity; growth changed capacities
+            else:
+                # unreachable by pigeonhole (total > Σcap ⇒ some level
+                # exceeds its cap) — kept ONLY as a loop-termination
+                # safety valve should the capacity rule ever change
                 break
 
     # ------------------------------------------------------------ public

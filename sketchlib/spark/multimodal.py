@@ -46,10 +46,10 @@ def _decode_stub(blob: bytes, media_type: str) -> tuple[int, int, int, np.ndarra
     width = int(b[: 4].sum() % 640) + 1
     height = int(b[4:8].sum() % 480) + 1
     n_frames = 1 if media_type == "image" else int(b.sum() % 250) + 1
-    # 8-bucket byte histogram as the stand-in feature vector
-    hist = np.bincount(b >> 5, minlength=8).astype(np.float32)
-    feat = hist / max(hist.sum(), 1.0)
-    return width, height, n_frames, feat
+    # 8-bucket byte histogram as the stand-in feature vector — the
+    # SAME helper the real paths use, so stub/real feature definitions
+    # cannot silently diverge
+    return width, height, n_frames, _bucket_hist(b)
 
 
 def _bucket_hist(vals: np.ndarray) -> np.ndarray:

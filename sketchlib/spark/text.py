@@ -21,18 +21,28 @@ LANG_MARKERS = {
 }
 
 
-def token_count(col) -> Column:
-    """Whitespace token count = number of non-whitespace runs (\\S+),
-    exactly Python's str.split() semantics; empty/all-space/NULL
-    text -> 0. NULL must be coalesced away BEFORE F.size: size(NULL
-    array) is -1 under Spark's default sizeOfNull, which would leak a
-    nonsense -1 into every downstream filter/aggregate (the DuckDB
-    oracle already computes 0 for NULL).
+def token_count(col, unicode: bool = False) -> Column:
+    """Whitespace token count = number of non-whitespace runs (\\S+);
+    empty/all-space/NULL text -> 0. NULL must be coalesced away BEFORE
+    F.size: size(NULL array) is -1 under Spark's default sizeOfNull,
+    which would leak a nonsense -1 into every downstream
+    filter/aggregate (the DuckDB oracle already computes 0 for NULL).
     (F.trim strips ASCII spaces only, so split-based counting miscounts
-    texts ending in \\n/\\t — regexp_extract_all avoids that.)"""
+    texts ending in \\n/\\t — regexp_extract_all avoids that.)
+
+    ``unicode=False`` (default): Java's ASCII ``\\s`` — byte-for-byte
+    the semantics of the DuckDB oracle's RE2 ``\\S``, which is what
+    makes the count cross-engine verifiable. ``unicode=True``: ``(?U)``
+    (UNICODE_CHARACTER_CLASS), i.e. true Python ``str.split()``
+    semantics where U+00A0 &nbsp; etc. separate tokens — what a
+    production web corpus wants (a scraped &nbsp; otherwise glues two
+    tokens into one, undercounting and mis-filtering; warc_ingest_job
+    uses this mode for its n_tokens column and --min-tokens floor,
+    matching the (?U) tokenizer web_build_job documents for its CMS)."""
     c = F.col(col) if isinstance(col, str) else col
     c = F.coalesce(c, F.lit(""))
-    return F.size(F.regexp_extract_all(c, F.lit(r"(\S+)"), 1))
+    pat = r"(?U)(\S+)" if unicode else r"(\S+)"
+    return F.size(F.regexp_extract_all(c, F.lit(pat), 1))
 
 
 def word_token_count(col) -> Column:

@@ -62,8 +62,11 @@ def build_throughput(spark, docs_path: str, partitions: int, trials: int = 3) ->
     zero-shuffle fixed-size sketches (HLL/CMS/KLL) over scan partitions
     + sharded cuckoo membership over a url-only shuffle. No heavy
     column is ever shuffled; per-task state is constant in corpus size.
-    Reports best-of-N docs/sec (first trial pays page-cache +
-    Python-worker warmup that a long-lived cluster job amortizes)."""
+    One UNTIMED warm-up build runs first (page cache, Python workers,
+    route-key cache — costs a long-lived cluster job amortizes in its
+    first seconds), then ``trials`` measured builds; reports best AND
+    median so one contended trial can't whipsaw the round-over-round
+    record (r4 driver trials spread 5x: [19.5, 8.7, 3.9] s)."""
     from pyspark.sql import functions as F
 
     from sketchlib.spark.webbuild import build_web_pipeline
@@ -75,13 +78,14 @@ def build_throughput(spark, docs_path: str, partitions: int, trials: int = 3) ->
     docs = spark.read.parquet(docs_path)
     n = docs.count()  # warms the footer read; not part of the timed section
     num_shards = 64
+    fixed, shard_rows = build_web_pipeline(docs, n, num_shards=num_shards)  # warm-up
     times = []
-    fixed = shard_rows = None
     for _ in range(trials):
         t0 = time.perf_counter()
         fixed, shard_rows = build_web_pipeline(docs, n, num_shards=num_shards)
         times.append(time.perf_counter() - t0)
     best = min(times)
+    median = sorted(times)[len(times) // 2]
 
     # accuracy gates on the build outputs (BASELINE.md targets)
     from sketchlib.spark.shard import ShardedProbeIndex, probe_sharded
@@ -93,6 +97,25 @@ def build_throughput(spark, docs_path: str, partitions: int, trials: int = 3) ->
     # handle directly (ONE broadcast serving both probe jobs — the
     # long-lived-service shape; round-2 review: per-call broadcasts leak)
     idx = ShardedProbeIndex(spark, {int(r.shard_id): bytes(r.state) for r in shard_rows})
+    # probe throughput: every inserted url, routed + vectorized lookup.
+    # Probes run BEFORE the FPR job so trial 1 is genuinely cold (the
+    # per-worker deser cache in shard.py is keyed by broadcast id, so
+    # any earlier probe of the same index pre-warms it). Cold and warm
+    # are reported SEPARATELY: warm is the long-lived-service steady
+    # state, cold the first-query latency — conflating them (best-of-2)
+    # made cross-round comparisons dishonest (ADVICE r4).
+    present = spark.read.parquet(docs_path).select(F.col("url").alias("key"))
+    probe_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n_member = (
+            probe_sharded(present, "key", num_shards=num_shards, index=idx)
+            .where("member")
+            .count()
+        )
+        probe_times.append(time.perf_counter() - t0)
+        assert n_member == n, "no-false-negative contract violated"
+    probe_cold, probe_warm = probe_times[0], min(probe_times[1:])
     n_probe = 100_000
     absent = spark.range(n_probe).select(
         F.concat(F.lit("https://absent-"), F.col("id"), F.lit(".example.net/x")).alias("key")
@@ -102,33 +125,23 @@ def build_throughput(spark, docs_path: str, partitions: int, trials: int = 3) ->
         .where("member")
         .count()
     )
-    # probe throughput: every inserted url, routed + vectorized lookup;
-    # best-of-2 like the build trials — a single measurement under a
-    # contention window misreads capability by 1.5-2x (BENCH.md drift)
-    present = spark.read.parquet(docs_path).select(F.col("url").alias("key"))
-    probe_sec = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        n_member = (
-            probe_sharded(present, "key", num_shards=num_shards, index=idx)
-            .where("member")
-            .count()
-        )
-        probe_sec = min(probe_sec, time.perf_counter() - t0)
-        assert n_member == n, "no-false-negative contract violated"
     idx.destroy()
     return {
         "rows": n,
         "pipeline": "hll+cms+kll scan-partitioned / cuckoo sharded x" + str(num_shards),
         "build_sec_best": round(best, 3),
+        "build_sec_median": round(median, 3),
         "build_sec_all": [round(t, 3) for t in times],
         "docs_per_sec": round(n / best),
+        "docs_per_sec_median": round(n / median),
         "cuckoo_count": int(total_items),
         "cuckoo_fail": int(fails),
         "measured_fpr": round(hits / n_probe, 6),
         "fpr_bound": round(2 * 4 / (1 << 16), 6),
-        "probe_sec": round(probe_sec, 3),
-        "probes_per_sec": round(n / probe_sec),
+        "probe_sec_cold": round(probe_cold, 3),
+        "probe_sec": round(probe_warm, 3),  # warm steady state (see above)
+        "probes_per_sec_cold": round(n / probe_cold),
+        "probes_per_sec": round(n / probe_warm),
         "hll_rel_err": round(abs(fixed["hll"].estimate() - n) / n, 5),
     }
 

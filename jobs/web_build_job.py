@@ -138,6 +138,17 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("sketchlib-web-build").getOrCreate()
 
+    try:
+        _run(spark, args)
+    finally:
+        # stop the session on BOTH exits: the insert-failure SystemExit
+        # below must not leave executors to interpreter teardown (on
+        # some deploy modes that delays release and muddles the
+        # reported failure with shutdown noise)
+        spark.stop()
+
+
+def _run(spark, args) -> None:
     from sketchlib.config import CuckooConfig
     from sketchlib.spark.shard import build_sharded
 
@@ -216,7 +227,6 @@ def main() -> None:
             f"cuckoo insert failures: {metrics['cuckoo_failures']}"
             " (resize --shards/capacity)"
         )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -60,22 +60,43 @@ def partition_sizes(df) -> list[int]:
     the tiny post-shuffle partitions far more aggressively than the
     full-width frame the caller actually consumes, and the diagnostic
     would report a partitioning the real frame never has. Partition
-    coalescing is therefore disabled for the measurement job (conf
-    saved/restored around it): the report is the DECLARED,
-    pre-coalescing partitioning — the raw hash distribution, which is
-    the right view for skew diagnosis. The conf flip is session-scoped
-    for the job's duration; this is a diagnostic — don't run it
-    concurrently with latency-sensitive queries."""
+    coalescing is therefore disabled for the measurement job: the
+    report is the DECLARED, pre-coalescing partitioning — the raw hash
+    distribution, which is the right view for skew diagnosis.
+
+    Isolation: the override is applied in a CLONED session
+    (``spark.newSession()`` shares the SparkContext but owns its
+    SQLConf; the frame is re-bound to the clone from its analyzed
+    plan), so queries planned concurrently in the caller's session
+    never see the flipped conf. If the plan transfer is unavailable,
+    falls back to a save/restore flip of the caller's session conf —
+    only then is the diagnostic unsafe to run concurrently with
+    latency-sensitive queries."""
     spark = df.sparkSession
     key = "spark.sql.adaptive.coalescePartitions.enabled"
+    ones = _count_projection(df)
+    count_parts = lambda d: d.rdd.mapPartitions(  # noqa: E731
+        lambda it: [sum(1 for _ in it)]
+    ).collect()
+    try:
+        from pyspark.sql import DataFrame
+
+        clone = spark.newSession()
+        clone.conf.set(key, "false")
+        jplan = ones._jdf.queryExecution().analyzed()
+        jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            clone._jsparkSession, jplan
+        )
+        return count_parts(DataFrame(jdf, clone))
+    except Exception:
+        pass  # non-classic backend (e.g. Connect): fall through
     try:
         prev = spark.conf.get(key)
     except Exception:
         prev = None
     spark.conf.set(key, "false")
     try:
-        ones = _count_projection(df)
-        return ones.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
+        return count_parts(ones)
     finally:
         if prev is None:
             spark.conf.unset(key)

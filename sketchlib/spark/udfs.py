@@ -147,6 +147,32 @@ def bloom_semi_join(
     )
 
 
+def _spacesaving_fold(counts, floor, vals, cnts, prune_at, prune_keep):
+    """Fold one batch's (vals, cnts) into the bounded candidate dict
+    IN PLACE; returns the updated prune floor.
+
+    SpaceSaving maintenance (Metwally et al., ICDT'05): keys entering
+    after a prune are seeded at the floor (the highest count any prune
+    ever evicted), so a maintained count NEVER under-states the key's
+    true partition count — by induction, a re-entering key's true count
+    so far is ≤ its maintained count at its last eviction ≤ that
+    prune's floor ≤ the current floor it is re-seeded with. Hence the
+    superset bound the caller's docstring claims: every key whose true
+    partition count exceeds the final floor is in the final dict."""
+    for v, c in zip(vals, cnts):
+        prev = counts.get(v)
+        counts[v] = (prev if prev is not None else floor) + int(c)
+    if len(counts) > prune_at:
+        # bound task memory: an exact dict over all distincts is
+        # O(partition vocabulary) — executor-OOM scale on web tokens —
+        # and defeats the sketch's purpose
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        counts.clear()
+        counts.update(ranked[:prune_keep])
+        floor = max(floor, ranked[prune_keep][1])
+    return floor
+
+
 def cms_heavy_hitters(
     df,
     key_col: str,
@@ -162,11 +188,17 @@ def cms_heavy_hitters(
     a partition-local candidate list (top candidate_factor*k by local
     count — a superset heuristic for heavy hitters, exact for any key
     whose global share exceeds one partition's share). The candidate
-    dict is BOUNDED: whenever it exceeds 32× the emitted size it is
-    pruned to the top 8× (Misra-Gries-style — a key must out-count the
-    retained tail to surface, which every partition-share heavy hitter
-    does; the pruned dict ranks candidates, the CMS supplies the final
-    estimates). Partial rows then merge like every other sketch frame:
+    dict is BOUNDED SpaceSaving-style: whenever it exceeds 32× the
+    emitted size it is pruned to the top 8×, and the highest evicted
+    count becomes a *floor* — keys first seen (or re-seen) after a
+    prune are seeded at that floor, so a maintained count never
+    under-states the key's true partition count. That restores the
+    superset bound the plain prune lost: any key whose true partition
+    count exceeds the final floor is guaranteed to survive to the
+    candidate list (Metwally et al., SpaceSaving, ICDT'05). Counts in
+    the dict only RANK candidates — the CMS supplies the final
+    estimates, so floor inflation never reaches the output. Partial
+    rows then merge like every other sketch frame:
     ≤ ``merge.tree_merge``'s direct threshold → one collect + driver
     fold; above it → ``merge.fold_groups_rdd`` streaming executor
     folds (the groupBy().applyInPandas shape merge.py documents as the
@@ -198,6 +230,7 @@ def cms_heavy_hitters(
         pid = TaskContext.get().partitionId()
         cms = CountMinSketch(width=width, depth=depth)
         counts: dict = {}
+        floor = 0  # highest count ever evicted by a prune (SpaceSaving)
         for rb in batches:
             col = rb.column(0)
             # NULL keys are excluded, not counted: Arrow value_counts
@@ -211,15 +244,9 @@ def cms_heavy_hitters(
             vals = vc.field("values").to_pylist()
             cnts = vc.field("counts").to_numpy(zero_copy_only=False)
             cms.update(vc.field("values"), weights=cnts)
-            for v, c in zip(vals, cnts):
-                counts[v] = counts.get(v, 0) + int(c)
-            if len(counts) > prune_at:
-                # bound task memory: an exact dict over all distincts
-                # is O(partition vocabulary) — executor-OOM scale on
-                # web tokens — and defeats the sketch's purpose
-                counts = dict(
-                    sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:prune_keep]
-                )
+            floor = _spacesaving_fold(
+                counts, floor, vals, cnts, prune_at, prune_keep
+            )
         top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:emit_n]
         yield pa.RecordBatch.from_pydict(
             {

@@ -82,9 +82,13 @@ class IncrementalSketchBuilder:
 
     def process_batch(self, batch_df, batch_id: int) -> None:
         last, stored_lineage, blob = self._read_raw()
-        same_lineage = (
-            self._lineage == 0 or stored_lineage == 0 or stored_lineage == self._lineage
-        )
+        # stored_lineage == 0 (legacy ISB1/headerless state) under a
+        # KNOWN new lineage counts as CHANGED: a legacy file re-attached
+        # to a fresh checkpoint must fold the new query's restarted
+        # batch ids, not skip them against the old file's numbering.
+        # The first fold stamps the new lineage, so replays of the same
+        # batch under this run are still no-ops.
+        same_lineage = self._lineage == 0 or stored_lineage == self._lineage
         if same_lineage and batch_id <= last:
             return  # replayed micro-batch: already folded into state
         state = loads(blob) if blob is not None else self.factory()

@@ -498,17 +498,24 @@ def q_bloom_membership(spark, sf_dir):
 def q_sharded_membership(spark, sf_dir):
     """Sharded cuckoo (the 10^12-scale path): build per key-hash shard,
     probe routed by the same partitioner."""
-    from sketchlib.spark.shard import build_sharded, probe_sharded
+    from sketchlib.spark.shard import ShardedProbeIndex, build_sharded, probe_sharded
 
     keys = _t(spark, sf_dir, "orders").select(
         F.col("o_custkey").cast("string").alias("key")
     ).distinct().localCheckpoint(eager=True)
     cfg = _sized_cuckoo_cfg(keys.count(), fingerprint_bits=16, hash_strategy="xx")
-    # the shard table IS the filter — persist it like any long-lived index
-    shards = build_sharded(keys, "key", num_shards=8, cfg=cfg).persist()
-    # loud saturation guard (8 cached rows — the agg is metadata-cheap)
-    assert (shards.agg(F.sum("fail_count")).first()[0] or 0) == 0
-    return probe_sharded(keys, "key", shards, num_shards=8).select("key", "member")
+    # at this cardinality the shard table is KB-scale — squarely the
+    # broadcast-probe regime — so collect it ONCE: the saturation guard
+    # reads the collected rows (no separate agg job) and the probe gets
+    # a prebuilt index (no state-size measuring job, no persist). Two
+    # jobs total: build, probe. At 10^12-key state sizes keep the shard
+    # table distributed instead (probe_sharded's cogroup path).
+    rows = build_sharded(keys, "key", num_shards=8, cfg=cfg).collect()
+    # loud saturation guard — a filter that dropped inserts answers
+    # false for present keys
+    assert sum(int(r.fail_count) for r in rows) == 0
+    idx = ShardedProbeIndex(spark, {int(r.shard_id): bytes(r.state) for r in rows})
+    return probe_sharded(keys, "key", num_shards=8, index=idx).select("key", "member")
 
 
 def q_sharded_delete(spark, sf_dir):
@@ -1142,9 +1149,13 @@ def q_minhash_identical(spark, sf_dir):
     them)."""
     from sketchlib.spark.dedup import minhash_dedup_pairs
 
-    docs = _docs_with_dups(spark, sf_dir)
+    # localCheckpoint: the derived corpus (parquet scan + union +
+    # transforms) feeds the signature pass AND both verify join sides —
+    # materialize it once instead of three plan replays. 32-way
+    # repartition = one task wave on the bench's 32 slots (64 ran two).
+    docs = _docs_with_dups(spark, sf_dir).localCheckpoint(eager=True)
     cand = minhash_dedup_pairs(
-        docs, num_perm=128, bands=32, threshold=1.0, repartition=64
+        docs, num_perm=128, bands=32, threshold=1.0, repartition=32
     )
     ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
     tb = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
@@ -1166,9 +1177,10 @@ def q_minhash_near_dups(spark, sf_dir):
     oracle to match."""
     from sketchlib.spark.dedup import minhash_dedup_pairs
 
-    docs = _docs_with_dups(spark, sf_dir)
+    # same one-materialization/one-wave shape as q_minhash_identical
+    docs = _docs_with_dups(spark, sf_dir).localCheckpoint(eager=True)
     cand = minhash_dedup_pairs(
-        docs, num_perm=128, bands=32, threshold=0.7, repartition=64
+        docs, num_perm=128, bands=32, threshold=0.7, repartition=32
     )
     ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
     tb = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))

@@ -57,6 +57,48 @@ def make_session(cpus: str):
                      shuffle_partitions=int(cpus))
 
 
+def make_lc_session(workers: int, cores: int, mem_mb: int):
+    """Multi-JVM session: local-cluster[W,C,MB] runs W separate executor
+    JVMs (the deployment shape of a real cluster) with no cluster
+    manager. Slots = W×C, comparable to local[W×C]."""
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local-cluster[{workers},{cores},{mem_mb}]")
+        .appName(f"sketchlib-bench-lc{workers}x{cores}")
+        .config("spark.sql.shuffle.partitions", str(workers * cores))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.executorEnv.PYTHONPATH", REPO)
+        .getOrCreate()
+    )
+
+
+def local_cluster_report(docs_path: str) -> dict:
+    """BENCH.md multi-JVM row: the SAME flagship build at equal slot
+    counts, single-JVM local[8] vs 4-executor-JVM local-cluster[4,2,3072]
+    — quantifies what crossing JVM/process boundaries (broadcast per
+    executor, python workers per executor, shuffle over netty instead of
+    in-process) costs the build, on one box."""
+    results = {}
+    spark = make_session("8")
+    try:
+        results["local8"] = build_throughput(spark, docs_path, 32, trials=2)
+    finally:
+        spark.stop()
+    spark = make_lc_session(4, 2, 3072)
+    try:
+        results["local_cluster_4x2"] = build_throughput(spark, docs_path, 32, trials=2)
+    finally:
+        spark.stop()
+    results["cluster_vs_single_jvm"] = round(
+        results["local_cluster_4x2"]["build_sec_best"]
+        / results["local8"]["build_sec_best"],
+        3,
+    )
+    return results
+
+
 def build_throughput(spark, docs_path: str, partitions: int, trials: int = 3) -> dict:
     """Flagship two-job pipeline (webbuild.build_web_pipeline):
     zero-shuffle fixed-size sketches (HLL/CMS/KLL) over scan partitions
@@ -274,6 +316,10 @@ def main() -> None:
 
     if "--scaling" in sys.argv:
         print(json.dumps(scaling_report(docs_path), indent=2))
+        return
+
+    if "--local-cluster" in sys.argv:
+        print(json.dumps(local_cluster_report(docs_path), indent=2))
         return
 
     # Bracket the measured window: neighbor contention on this host can

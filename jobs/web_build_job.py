@@ -54,19 +54,22 @@ def _build_fixed(spark, docs, args):
 
     from sketchlib.sketches import CountMinSketch, HyperLogLog, KLLSketch
     from sketchlib.spark.build import build_sketches
-    from sketchlib.spark.merge import tree_merge
+    from sketchlib.spark.merge import state_bytes_hint, tree_merge
     from sketchlib.spark.webbuild import build_web_sketches, merge_web_sketches
 
     if not args.checkpoint:
+        factories = {
+            "hll": lambda: HyperLogLog(14),
+            "cms": lambda: CountMinSketch(width=args.cms_width, depth=4),
+            "kll": lambda: KLLSketch(200),
+        }
         return merge_web_sketches(
-            build_web_sketches(
-                docs,
-                {
-                    "hll": lambda: HyperLogLog(14),
-                    "cms": lambda: CountMinSketch(width=args.cms_width, depth=4),
-                    "kll": lambda: KLLSketch(200),
-                },
-            )
+            build_web_sketches(docs, factories),
+            # byte-aware gate: --cms-width defaults to 1<<16 (2 MB
+            # state); at the 256-partition threshold the direct pull
+            # would be ~1.5 GB — the hint routes wide builds to the
+            # bounded executor fold
+            state_bytes=state_bytes_hint(*factories.values()),
         )
     from pyspark.sql import functions as F
 
@@ -86,34 +89,40 @@ def _build_fixed(spark, docs, args):
     from concurrent.futures import ThreadPoolExecutor
 
     def hll():
+        fac = lambda: HyperLogLog(14)  # noqa: E731
         return tree_merge(
             build_sketches(
                 docs.select("url"),
                 "url",
-                lambda: HyperLogLog(14),
+                fac,
                 checkpoint_dir=os.path.join(args.checkpoint, "hll"),
-            )
+            ),
+            state_bytes=state_bytes_hint(fac),
         )
 
     def cms():
+        fac = lambda: CountMinSketch(width=args.cms_width, depth=4)  # noqa: E731
         return tree_merge(
             build_sketches(
                 toks,
                 "tok",
-                lambda: CountMinSketch(width=args.cms_width, depth=4),
+                fac,
                 checkpoint_dir=os.path.join(args.checkpoint, "cms"),
-            )
+            ),
+            state_bytes=state_bytes_hint(fac),
         )
 
     def kll():
+        fac = lambda: KLLSketch(200)  # noqa: E731
         return tree_merge(
             build_sketches(
                 docs.select(F.length("text").cast("double").alias("v")),
                 "v",
-                lambda: KLLSketch(200),
+                fac,
                 checkpoint_dir=os.path.join(args.checkpoint, "kll"),
                 numeric=True,
-            )
+            ),
+            state_bytes=state_bytes_hint(fac),
         )
 
     with ThreadPoolExecutor(max_workers=3) as ex:

@@ -111,7 +111,24 @@ def tree_merge_df(sketch_df, fanout: int = 16):
     )
 
 
-def tree_merge(sketch_df, fanout: int = 16, direct_partitions: int = 256):
+def state_bytes_hint(*factories) -> int:
+    """Driver-side estimate of ONE partition row group's serialized
+    state size: serialize one empty instance of each factory. Costs ~ms
+    and no Spark job. Exact for array-backed sketches (CMS, HLL,
+    cuckoo, Bloom — their state arrays are config-sized, identical
+    empty or full); an UNDER-estimate for growing sketches (KLL,
+    t-digest), which are KB-scale where the array-backed ones are the
+    MB-scale states the byte gate exists for."""
+    return sum(len(fac().to_bytes()) for fac in factories)
+
+
+def tree_merge(
+    sketch_df,
+    fanout: int = 16,
+    direct_partitions: int = 256,
+    state_bytes: int | None = None,
+    direct_bytes: int = 256 << 20,
+):
     """Full merge → one sketch object on the driver.
 
     Adaptive depth: when the blob frame has ≤ ``direct_partitions``
@@ -131,14 +148,22 @@ def tree_merge(sketch_df, fanout: int = 16, direct_partitions: int = 256):
     ≤fanout streaming folds executor-side, so the driver never pulls
     more than fanout blobs.
 
-    The threshold counts partitions, not bytes: with unusually large
-    per-partition states (an unsharded CuckooFilter sized for 10^8+
-    keys is ~2 B/key PER PARTIAL) the direct pull is p × state where
-    the tree pulls fanout × state — pass ``direct_partitions=0`` for
-    such builds, or better, use ``shard.build_sharded`` (the intended
-    giant-membership path: total state 2 B/key across ALL shards,
-    nothing merges globally)."""
-    if sketch_df.rdd.getNumPartitions() <= direct_partitions:
+    ``state_bytes`` makes the gate BYTE-aware: when the caller knows
+    the per-partition state size (``state_bytes_hint(factory)`` —
+    exact for array-backed sketches, no Spark job), the direct path
+    additionally requires p × state_bytes ≤ ``direct_bytes`` (default
+    256 MB of driver transient). Without it the gate counts partitions
+    only, which a 2 MB-wide CMS at the 256-partition threshold turns
+    into a silent ~0.5 GB driver pull — maxResultSize is the loud
+    backstop, but the byte cap avoids tripping it at all. For
+    unusually large per-partition states with no hint available
+    (an unsharded CuckooFilter sized for 10^8+ keys is ~2 B/key PER
+    PARTIAL) pass ``direct_partitions=0``, or better, use
+    ``shard.build_sharded`` (the intended giant-membership path:
+    total state 2 B/key across ALL shards, nothing merges globally)."""
+    p = sketch_df.rdd.getNumPartitions()
+    fits_bytes = state_bytes is None or p * state_bytes <= direct_bytes
+    if p <= direct_partitions and fits_bytes:
         sk = None
         for r in _direct_collect(sketch_df.select("state")):
             other = loads(bytes(r[0]))

@@ -58,6 +58,120 @@ def _bucket_hist(vals: np.ndarray) -> np.ndarray:
     return hist / max(hist.sum(), 1.0)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_gray(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Pure-stdlib PNG decode → (width, height, gray uint8 array).
+
+    Handles 8-bit non-interlaced grayscale / gray+alpha / RGB / RGBA
+    with all five scanline filters (None/Sub/Up/Average/Paeth) — the
+    same zlib+struct trick the audio path plays with ``wave``, so the
+    image branch of ``_decode_real`` executes genuinely in environments
+    without PIL. RGB→gray uses PIL's exact ITU-R 601-2 integer formula
+    (L = (R·19595 + G·38470 + B·7471 + 0x8000) >> 16) so the two real
+    paths can never diverge bit-for-bit. Raises ValueError for
+    non-PNG / unsupported layouts (16-bit, palette, interlaced) —
+    ``codec_mode="auto"`` then falls back to the stub, ``"real"``
+    propagates, exactly like a missing library."""
+    import struct
+    import zlib
+
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + length  # chunk header + data + CRC
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or comp or filt or interlace:
+        raise ValueError("unsupported PNG layout (need 8-bit non-interlaced)")
+    if not w or not h:
+        raise ValueError("empty PNG")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("IDAT length mismatch")
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    bpp = channels
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, stride, y * (stride + 1) + 1)
+        if ftype == 0:  # None
+            cur = line.astype(np.int32)
+        elif ftype == 2:  # Up — vectorized, no left dependency
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub/Average/Paeth: left-to-right scan
+            cur = np.empty(stride, np.int32)
+            ln = line.tolist()
+            pv = prev.tolist()
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0  # left
+                b = pv[i]  # above
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = pv[i - bpp] if i >= bpp else 0  # upper-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[i] = (ln[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur
+        prev = cur
+    px = out.reshape(h, w, channels)
+    if channels <= 2:  # gray or gray+alpha: luma is the gray channel
+        gray = px[:, :, 0]
+    else:
+        rgb = px[:, :, :3].astype(np.uint32)
+        gray = (
+            (rgb[..., 0] * 19595 + rgb[..., 1] * 38470 + rgb[..., 2] * 7471 + 0x8000)
+            >> 16
+        ).astype(np.uint8)
+    return int(w), int(h), gray
+
+
+def png_blob(width: int, height: int, value: int) -> bytes:
+    """One deterministic REAL 8-bit RGB PNG (constant pixel ``value``,
+    filter-0 scanlines) — the image sibling of ``wav_blob``."""
+    import binascii
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", binascii.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    row = b"\x00" + bytes([value & 0xFF]) * (width * 3)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(row * height, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _decode_real(blob: bytes, media_type: str) -> tuple[int, int, int, np.ndarray]:
     """Real codec path. Raises ImportError when the library is absent
     and the codec's own parse error when the blob is not that media
@@ -66,7 +180,12 @@ def _decode_real(blob: bytes, media_type: str) -> tuple[int, int, int, np.ndarra
     import io
 
     if media_type == "image":
-        from PIL import Image  # import-guarded: absent in this container
+        try:
+            from PIL import Image  # first guard: full-format codec
+        except ImportError:
+            # pure-stdlib PNG path (same gray formula as PIL convert("L"))
+            w, h, gray = _png_gray(blob)
+            return w, h, 1, _bucket_hist(gray.ravel())
 
         with Image.open(io.BytesIO(blob)) as img:
             gray = np.asarray(img.convert("L"), np.uint8)
@@ -213,6 +332,33 @@ def synth_audio_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "doc_id": pdf[id_col],
                     "media": blobs,
                     "media_type": ["audio"] * len(pdf),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def synth_image_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL PNG blobs derived from the id column, encoded
+    executor-side with ``png_blob`` (stdlib zlib+struct) — so
+    ``decode_media(codec_mode="real")`` round-trips genuine images in
+    any environment, PIL or not. Geometry and pixel value are pure
+    functions of the id (width = 8 + id % 24, height = 6 + id % 17,
+    value = (3 + id·37) % 256), which makes the decoded metadata AND
+    the feature histogram (constant image → one-hot at bucket
+    value >> 5) exactly SQL-mirrorable for the driver oracle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = [
+                png_blob(8 + int(i) % 24, 6 + int(i) % 17, (3 + int(i) * 37) % 256)
+                for i in pdf[id_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "media": blobs,
+                    "media_type": ["image"] * len(pdf),
                 }
             )
 

@@ -195,7 +195,11 @@ def _fold_blob_rows(rows) -> Iterator[tuple]:
 
 
 def merge_web_sketches(
-    sketch_df, fanout: int = 64, direct_partitions: int = 256
+    sketch_df,
+    fanout: int = 64,
+    direct_partitions: int = 256,
+    state_bytes: int | None = None,
+    direct_bytes: int = 256 << 20,
 ) -> dict[str, object]:
     """Bounded-memory merge → {name: merged sketch object}.
 
@@ -211,11 +215,16 @@ def merge_web_sketches(
     PARTITIONS (the right proxy for build outputs — n_names rows per
     partition — but not for a blob table re-read from storage, where
     few partitions can hold many rows: maxResultSize is the loud
-    backstop, ``direct_partitions=0`` the remedy), and it counts
-    neither BYTES nor names (at ``jobs/web_build_job.py``'s default
-    2 MB CMS width the direct pull is p × n_names × 2 MB — still
-    ≤ ~1.5 GB at the threshold, but size the driver accordingly or
-    lower the threshold for wider sketches).
+    backstop, ``direct_partitions=0`` the remedy); and without a
+    ``state_bytes`` hint it counts neither BYTES nor names (at
+    ``jobs/web_build_job.py``'s default 2 MB CMS width the direct pull
+    is p × n_names × 2 MB — ~1.5 GB at the threshold). Pass
+    ``state_bytes=merge.state_bytes_hint(*factories)`` (the summed
+    empty-state size of one partition's row group — exact for
+    array-backed sketches, no Spark job) and the direct path
+    additionally requires p × state_bytes ≤ ``direct_bytes`` (default
+    256 MB driver transient); wide-state builds then take the bounded
+    executor fold even at low partition counts.
 
     Past the threshold, level 1 routes the P×n_names blob rows round-robin to ≤fanout
     groups and STREAMS each group through a per-name running merge
@@ -238,7 +247,8 @@ def merge_web_sketches(
 
     p = sketch_df.rdd.getNumPartitions()
     out: dict[str, object] = {}
-    if p <= direct_partitions:
+    fits_bytes = state_bytes is None or p * state_bytes <= direct_bytes
+    if p <= direct_partitions and fits_bytes:
         from .merge import _direct_collect
 
         for row in _direct_collect(sketch_df.select("sketch", "state")):
@@ -311,15 +321,19 @@ def build_web_pipeline(
     )
 
     def job_a():
+        from .merge import state_bytes_hint
+
+        factories = {
+            "hll": lambda: HyperLogLog(14),
+            "cms": lambda: CountMinSketch(width=cms_width, depth=4),
+            "kll": lambda: KLLSketch(200),
+        }
         return merge_web_sketches(
-            build_web_sketches(
-                docs_df,
-                {
-                    "hll": lambda: HyperLogLog(14),
-                    "cms": lambda: CountMinSketch(width=cms_width, depth=4),
-                    "kll": lambda: KLLSketch(200),
-                },
-            )
+            build_web_sketches(docs_df, factories),
+            # byte-aware direct gate: one partition's row group is one
+            # state per name; wide CMS configs route to the executor
+            # fold instead of a multi-GB driver pull
+            state_bytes=state_bytes_hint(*factories.values()),
         )
 
     def job_b():

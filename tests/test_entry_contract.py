@@ -21,48 +21,43 @@ def test_registry_shape():
     # rows-only recall demos are now gated verdicts with exact oracles)
     assert set(qs) == set(oracles)
     # the driver's correctness artifact covers the FIRST 50 names.
-    # Final round-4 rotation (see the queries() comment): (a) one-plus
-    # in-window query per round-4-changed code path, (b) the 14 names
-    # whose last driver-green row was round 2 all rotate IN so no query
-    # goes two full rounds unchecked; the tail holds only
-    # CORRECTNESS_r03-green names whose round-4 module deltas are
-    # covered by a sibling window query.
+    # Round-5 rotation (see the queries() comment): (a) one-plus
+    # in-window query per round-5-changed code path, (b) ALL 18 names
+    # whose last driver-green row was round 3 (the round-4 tail) rotate
+    # IN so no query goes two full rounds unchecked; the tail holds
+    # only CORRECTNESS_r04-green names whose round-5 module deltas are
+    # zero or covered by a sibling window query.
     first50 = list(qs)[:50]
     for name in (
-        # (a) round-4-changed paths
-        "ann_cosine_topk", "ann_lsh_recall", "ann_index", "lsh_index",
-        "embedding_knn", "embedding_knn_recall",
-        "warc_source", "multimodal_decode",
-        "multimodal_audio_real", "multimodal_frame_sample",
-        "streaming_sharded", "streaming_stateful", "streaming_incremental",
-        "sharded_bloom_membership", "sharded_membership", "sharded_delete",
-        "cuckoo_membership", "cuckoo_delete", "cuckoo_lifecycle",
-        "bloom_join_pruning",
-        "minhash_identical", "minhash_near_dups",
-        "ngram_jaccard", "simhash_near_dups",
-        "dedup_components", "dedup_exact_hash",
-        "token_count", "word_token_count", "hash_sample",
-        "doc_split", "repetition_ratio", "corpus_prepare",
-        "heavy_hitters", "quantile_sketches_check", "grouped_quantiles",
-        "per_source_distinct", "top_tokens", "lang_id",
-        "web_sketch_family",
-        # (b) last driver-green in round 2
-        "membership_semi_join", "membership_anti_join", "sessionization",
-        "set_ops", "pricing_summary", "top_revenue_orders",
-        "shipping_priority", "region_nation_rollup",
-        "top_customer_per_nation", "events_window_counts", "sql_interface",
+        # (a) round-5-changed paths
+        "heavy_hitters",              # udfs SpaceSaving candidate floor
+        "streaming_incremental",      # legacy-lineage fold
+        "minhash_identical", "minhash_near_dups", "dedup_components",
+        "sharded_membership",         # collect-once probe index
+        "sharded_delete", "sharded_bloom_membership",
+        "web_sketch_family",          # byte-aware merge gate (hint threaded)
+        "cuckoo_membership", "hll_distinct_check", "cms_frequency_check",
+        "multimodal_image_real",      # new: stdlib PNG real-codec path
+        # (b) last driver-green in round 3 (the whole round-4 tail)
+        "cuckoo_count", "bloom_membership", "stratified_sample",
+        "hll_set_ops", "kmv_set_ops", "source_similarity",
+        "streaming_windowed", "dedup_exact", "dedup_canonical",
+        "quality_score", "top_tokens_per_source", "pii_scrub",
+        "doc_fingerprint", "ann_ivf_recall", "simhash_buckets",
+        "hash_indices_contract",
     ):
         assert name in first50, name
-    # tail names must all have a round-3 driver-green row
-    r03_green = {
-        "cuckoo_count", "bloom_membership", "cms_frequency_check",
-        "stratified_sample", "hll_set_ops", "kmv_set_ops",
-        "source_similarity", "streaming_windowed", "dedup_exact",
-        "dedup_canonical", "quality_score", "top_tokens_per_source",
-        "pii_scrub", "doc_fingerprint", "ann_ivf_recall",
-        "simhash_buckets", "hash_indices_contract", "hll_distinct_check",
+    # tail names must all have a round-4 driver-green row
+    r04_green = {
+        "ann_cosine_topk",
+        "token_count", "word_token_count", "embedding_knn",
+        "embedding_knn_recall", "hash_sample", "multimodal_frame_sample",
+        "multimodal_audio_real", "streaming_stateful", "streaming_sharded",
+        "doc_split", "repetition_ratio", "ann_lsh_recall", "ann_index",
+        "lsh_index", "warc_source", "multimodal_decode",
+        "membership_anti_join", "shipping_priority",
     }
-    assert set(list(qs)[50:]) <= r03_green
+    assert set(list(qs)[50:]) <= r04_green
 
 
 def test_entry_runs(spark):

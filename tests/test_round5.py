@@ -170,6 +170,203 @@ def test_partition_sizes_leaves_caller_conf_untouched(spark):
     spark.conf.unset(key)
 
 
+def test_tree_merge_byte_gate_forces_executor_fold(spark, monkeypatch):
+    """Wide per-partition states must route to the bounded executor
+    fold even at LOW partition counts (verdict r4 #5: the partition
+    gate alone turns a 2 MB CMS at the threshold into a ~0.5 GB silent
+    driver pull)."""
+    from sketchlib.sketches import CountMinSketch
+    from sketchlib.spark import merge as merge_mod
+    from sketchlib.spark.build import build_sketches
+
+    df = spark.createDataFrame(
+        [(f"k{i}",) for i in range(2000)], "key string"
+    ).repartition(4)
+    fac = lambda: CountMinSketch(width=1 << 12, depth=4)  # noqa: E731
+    hint = merge_mod.state_bytes_hint(fac)
+    assert hint >= (1 << 12) * 4 * 4  # config-sized, not empty-tiny
+
+    calls = {"direct": 0}
+    orig = merge_mod._direct_collect
+
+    def spy(frame):
+        calls["direct"] += 1
+        return orig(frame)
+
+    monkeypatch.setattr(merge_mod, "_direct_collect", spy)
+
+    # byte cap below p × state: executor fold despite p=4 ≤ 256
+    sk_fold = merge_mod.tree_merge(
+        build_sketches(df, "key", fac), state_bytes=hint, direct_bytes=2 * hint
+    )
+    assert calls["direct"] == 0
+    # roomy cap: the direct path as before
+    sk_direct = merge_mod.tree_merge(
+        build_sketches(df, "key", fac), state_bytes=hint
+    )
+    assert calls["direct"] == 1
+    # CMS merge is order-insensitive: both paths byte-identical
+    assert sk_fold.to_bytes() == sk_direct.to_bytes()
+
+
+def test_merge_web_sketches_byte_gate(spark, monkeypatch):
+    from sketchlib.sketches import CountMinSketch, HyperLogLog
+    from sketchlib.spark import merge as merge_mod
+    from sketchlib.spark.webbuild import build_web_sketches, merge_web_sketches
+
+    docs = spark.createDataFrame(
+        [(f"https://h/{i}", f"tok{i} body text") for i in range(500)],
+        "url string, text string",
+    ).repartition(4)
+    factories = {
+        "hll": lambda: HyperLogLog(12),
+        "cms": lambda: CountMinSketch(width=1 << 12, depth=4),
+    }
+    hint = merge_mod.state_bytes_hint(*factories.values())
+
+    calls = {"direct": 0}
+    orig = merge_mod._direct_collect
+
+    def spy(frame):
+        calls["direct"] += 1
+        return orig(frame)
+
+    monkeypatch.setattr(merge_mod, "_direct_collect", spy)
+    forced = merge_web_sketches(
+        build_web_sketches(docs, factories, size_sketches=()),
+        state_bytes=hint,
+        direct_bytes=2 * hint,
+    )
+    assert calls["direct"] == 0
+    direct = merge_web_sketches(
+        build_web_sketches(docs, factories, size_sketches=()), state_bytes=hint
+    )
+    assert calls["direct"] == 1
+    assert forced["hll"].to_bytes() == direct["hll"].to_bytes()
+    assert forced["cms"].to_bytes() == direct["cms"].to_bytes()
+
+
+# ------------------------------------------------- stdlib PNG real codec
+
+
+def _filtered_png(pixels: "np.ndarray", color_type: int, filters: list[int]) -> bytes:
+    """Hand-build a PNG whose scanlines use the GIVEN filter types, by
+    applying each filter's forward transform to the raw rows — the only
+    way to exercise Sub/Up/Average/Paeth without an external encoder."""
+    import binascii
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = pixels.shape
+    stride = w * ch
+    flat = pixels.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(stride, np.int32)
+    for y, ftype in enumerate(filters):
+        cur = flat[y]
+        enc = np.empty(stride, np.int32)
+        for i in range(stride):
+            a = int(cur[i - ch]) if i >= ch else 0
+            b = int(prev[i])
+            c = int(prev[i - ch]) if i >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            enc[i] = (int(cur[i]) - pred) & 0xFF
+        raw.append(ftype)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", binascii.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_constant():
+    from sketchlib.spark.multimodal import _png_gray, png_blob
+
+    w, h, gray = _png_gray(png_blob(13, 7, 200))
+    assert (w, h) == (13, 7)
+    # constant RGB (v,v,v) → PIL's integer luma is exactly v
+    assert gray.shape == (7, 13) and (gray == 200).all()
+
+
+def test_png_all_filter_types_decode_exactly():
+    """Every scanline filter (None/Sub/Up/Average/Paeth) must invert
+    exactly, for RGB and grayscale layouts."""
+    import numpy as np
+
+    from sketchlib.spark.multimodal import _png_gray
+
+    rng = np.random.default_rng(9)
+    for color_type, ch in ((2, 3), (0, 1), (6, 4)):
+        px = rng.integers(0, 256, (5, 6, ch), dtype=np.uint8)
+        blob = _filtered_png(px, color_type, [0, 1, 2, 3, 4])
+        w, h, gray = _png_gray(blob)
+        assert (w, h) == (6, 5)
+        if ch == 1:
+            expect = px[:, :, 0]
+        else:
+            rgb = px[:, :, :3].astype(np.uint32)
+            expect = (
+                (rgb[..., 0] * 19595 + rgb[..., 1] * 38470 + rgb[..., 2] * 7471 + 0x8000)
+                >> 16
+            ).astype(np.uint8)
+        assert (gray == expect).all(), color_type
+
+
+def test_png_rejects_non_png_and_truncation():
+    import pytest as _pytest
+
+    from sketchlib.spark.multimodal import _png_gray, png_blob
+
+    with _pytest.raises(ValueError):
+        _png_gray(b"\x00" * 64)
+    blob = png_blob(4, 4, 10)
+    with _pytest.raises(Exception):
+        _png_gray(blob[: len(blob) // 2])
+
+
+def test_decode_media_real_png_without_pil(spark):
+    """The image branch of decode_media(codec_mode='real') must execute
+    genuinely in this container (no PIL): geometry and one-hot feature
+    recovered from real PNG bytes."""
+    from sketchlib.spark.multimodal import decode_media, synth_image_table
+
+    df = spark.createDataFrame([(i,) for i in range(0, 40, 7)], "doc_id long")
+    out = decode_media(synth_image_table(df), codec_mode="real").collect()
+    assert len(out) == 6
+    for r in out:
+        i = r.doc_id
+        assert r.width == 8 + i % 24 and r.height == 6 + i % 17
+        assert r.n_frames == 1
+        v = (3 + i * 37) % 256
+        feats = list(r.feature)
+        assert feats[(v >> 5) & 7] == 1.0 and sum(feats) == 1.0
+
+
 def test_partition_sizes_reports_empty_partitions(spark):
     from pyspark.sql import functions as F
 

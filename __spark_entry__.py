@@ -1192,6 +1192,36 @@ def q_minhash_near_dups(spark, sf_dir):
     )
 
 
+def q_repeated_passages(spark, sf_dir):
+    """Exact-substring dedup (round 5; Lee et al. ACL'22, bucketed —
+    see dedup.repeated_passages): a fixed 25-word passage is appended
+    to the even-id half of a fully id-salted corpus (base words are
+    unique per doc, so nothing else repeats and no window straddling
+    the splice point can match). The operator must recover EXACTLY the
+    injected spans — (start, end, windows) = (30, 54, 16) per modified
+    doc at window_words=10 — which the oracle states as constants."""
+    from sketchlib.spark.dedup import repeated_passages
+
+    d = _t(spark, sf_dir, "documents").where("doc_id % 11 = 0").select("doc_id")
+    base = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(29)),
+            lambda j: F.concat(
+                F.lit("w"), F.col("doc_id").cast("string"), F.lit("x"), j.cast("string")
+            ),
+        ),
+    )
+    passage = " ".join(f"p{j}" for j in range(25))
+    text = F.when(
+        F.col("doc_id") % 2 == 0, F.concat(base, F.lit(" " + passage))
+    ).otherwise(base)
+    docs = d.select("doc_id", text.alias("text"))
+    return repeated_passages(docs, window_words=10).select(
+        "doc_id", "start_word", "end_word", "n_windows"
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard near-dup pairs over the derived dup
     corpus. Output is integer-valued (intersection + distinct-gram
@@ -2042,7 +2072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prepare": q_corpus_prepare,
         "bloom_join_pruning": q_bloom_join_pruning,
         "membership_semi_join": q_membership_semi_join,
-        "sessionization": q_sessionization,
+        "repeated_passages": q_repeated_passages,
         "set_ops": q_set_ops,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
@@ -2054,6 +2084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail: driver-green in r4 (CORRECTNESS_r04), modules
         # untouched in round 5 or covered by sibling window queries ----
         "ann_cosine_topk": q_ann_cosine_topk,
+        "sessionization": q_sessionization,
         "token_count": q_token_count,
         "word_token_count": q_word_token_count,
         "embedding_knn": q_embedding_knn,
@@ -2481,6 +2512,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(8000 + (doc_id % 4) * 2000 AS BIGINT) AS sample_rate, "
             "CAST(200 + doc_id % 50 AS BIGINT) AS n_frames "
             "FROM documents WHERE doc_id % 101 = 0"
+        ),
+        # exact-substring mirror: the injected construction makes every
+        # span a constant (base 30 id-salted words, 25-word shared
+        # passage, window 10 -> start 30, end 54, 16 windows) on the
+        # even-id half of the %11 selection
+        "repeated_passages": (
+            "SELECT doc_id, CAST(30 AS BIGINT) AS start_word, "
+            "CAST(54 AS BIGINT) AS end_word, CAST(16 AS BIGINT) AS n_windows "
+            "FROM documents WHERE doc_id % 11 = 0 AND doc_id % 2 = 0"
         ),
         # real image-codec round trip: the oracle recomputes the
         # id-derived PNG geometry synth_image_table encoded and the

@@ -720,3 +720,87 @@ def ngram_jaccard_pairs(
         return result  # historical fully-lazy shape
     # an explicit checkpoint_dir opts into eager reliable materialization
     return materialize(result, checkpoint_dir)
+
+
+# ------------------------------------------------------ repeated passages
+
+
+def repeated_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_words: int = 20,
+    min_docs: int = 2,
+    max_gram_df: int | None = 100_000,
+) -> DataFrame:
+    """Exact-substring dedup: spans of ≥ ``window_words`` consecutive
+    words that appear in ≥ ``min_docs`` DISTINCT documents — the
+    repeated-passage detection a frontier text pipeline runs alongside
+    doc-level near-dup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL 2022; their suffix-array formulation
+    is single-machine, this is the bucketed Spark shape).
+
+    → (id, start_word, end_word, n_windows): maximal runs of repeated
+    windows per document, 0-indexed inclusive word positions. A span of
+    L ≥ window_words repeated words shows up as L − window_words + 1
+    consecutive repeated windows, which the run-grouping collapses back
+    to one row.
+
+    Scale shape — NO self-join anywhere (unlike the pairwise near-dup
+    family): rolling 64-bit window hashes per doc (the same vectorized
+    kernel MinHash shingles use — one hash per WORD, windows combined
+    by polynomial roll), then ONE groupBy(gram) marking grams whose
+    distinct-doc count ≥ min_docs, one semi-join of the (gram, id, pos)
+    rows against those, and a per-doc window function to collapse
+    consecutive positions into spans. Everything that shuffles is
+    (8 B hash, id, pos) — text never moves. ``max_gram_df`` drops
+    boilerplate grams (site chrome repeated on millions of pages) the
+    same way the MinHash/SimHash/ngram caps do; at web scale you want
+    it, because a gram on every page would semi-join n rows through
+    one key. Equality is 64-bit-hash equality (collision odds ~2⁻⁶⁴
+    per pair) — the standard trade against the suffix array's
+    exactness; a byte-exact verify needs one text join on the sparse
+    output spans.
+
+    Docs shorter than ``window_words`` emit no grams (they are
+    doc-level dedup's job, and the fallback whole-text hash would
+    produce out-of-range span arithmetic)."""
+
+    @F.pandas_udf("array<long>")
+    def passage_grams(texts: pd.Series) -> pd.Series:
+        if len(texts) == 0:
+            return pd.Series([], dtype=object)
+        hashes, bounds = _shingle_hash_batch(texts, window_words)
+        out = []
+        for i, t in enumerate(texts):
+            if len((t or "").split()) < window_words:
+                out.append(np.empty(0, np.int64))
+            else:
+                out.append(hashes[bounds[i] : bounds[i + 1]].astype(np.int64))
+        return pd.Series(out)
+
+    grams = df.select(
+        id_col, F.posexplode(passage_grams(F.col(text_col))).alias("pos", "g")
+    )
+    stats = grams.groupBy("g").agg(
+        F.countDistinct(id_col).alias("n_docs"), F.count("*").alias("gram_df")
+    )
+    keep = stats.where(F.col("n_docs") >= min_docs)
+    if max_gram_df is not None:
+        keep = keep.where(F.col("gram_df") <= max_gram_df)
+    hits = grams.join(keep.select("g"), "g", "left_semi")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # consecutive positions share (pos - row_number): one group per run
+    runs = hits.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+    return (
+        runs.groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").cast("long").alias("start_word"),
+            (F.max("pos") + F.lit(window_words - 1)).cast("long").alias("end_word"),
+            F.count("*").cast("long").alias("n_windows"),
+        )
+        .drop("_grp")
+    )

@@ -38,6 +38,7 @@ def test_registry_shape():
         "web_sketch_family",          # byte-aware merge gate (hint threaded)
         "cuckoo_membership", "hll_distinct_check", "cms_frequency_check",
         "multimodal_image_real",      # new: stdlib PNG real-codec path
+        "repeated_passages",          # new: exact-substring dedup
         # (b) last driver-green in round 3 (the whole round-4 tail)
         "cuckoo_count", "bloom_membership", "stratified_sample",
         "hll_set_ops", "kmv_set_ops", "source_similarity",
@@ -49,7 +50,7 @@ def test_registry_shape():
         assert name in first50, name
     # tail names must all have a round-4 driver-green row
     r04_green = {
-        "ann_cosine_topk",
+        "ann_cosine_topk", "sessionization",
         "token_count", "word_token_count", "embedding_knn",
         "embedding_knn_recall", "hash_sample", "multimodal_frame_sample",
         "multimodal_audio_real", "streaming_stateful", "streaming_sharded",

@@ -246,6 +246,98 @@ def test_merge_web_sketches_byte_gate(spark, monkeypatch):
     assert forced["cms"].to_bytes() == direct["cms"].to_bytes()
 
 
+# ------------------------------------------------- repeated passages
+
+
+def _passage_corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+PASSAGE = " ".join(f"p{j}" for j in range(12))  # 12 shared words
+
+
+def test_repeated_passages_finds_injected_span(spark):
+    """A 12-word passage shared by two docs with otherwise-unique words
+    must surface as exactly one maximal span per doc (window=5 → 8
+    consecutive windows collapse to one run)."""
+    from sketchlib.spark.dedup import repeated_passages
+
+    rows = [
+        (1, " ".join(f"a{j}" for j in range(10)) + " " + PASSAGE),
+        (2, " ".join(f"b{j}" for j in range(7)) + " " + PASSAGE),
+        (3, " ".join(f"c{j}" for j in range(20))),  # no repeats
+    ]
+    out = {
+        r.doc_id: (r.start_word, r.end_word, r.n_windows)
+        for r in repeated_passages(
+            _passage_corpus(spark, rows), window_words=5
+        ).collect()
+    }
+    # doc 1: passage words at 10..21 → windows 10..17 (8 of them)
+    assert out[1] == (10, 21, 8)
+    assert out[2] == (7, 18, 8)
+    assert 3 not in out
+
+
+def test_repeated_passages_within_doc_only_is_excluded(spark):
+    """min_docs counts DISTINCT documents: a passage repeated twice
+    inside ONE doc (and nowhere else) is doc-internal repetition, not a
+    cross-document passage."""
+    from sketchlib.spark.dedup import repeated_passages
+
+    rows = [
+        (1, PASSAGE + " mid1 mid2 mid3 " + PASSAGE),
+        (2, " ".join(f"z{j}" for j in range(30))),
+    ]
+    out = repeated_passages(_passage_corpus(spark, rows), window_words=5).collect()
+    assert out == []
+
+
+def test_repeated_passages_short_docs_emit_nothing(spark):
+    from sketchlib.spark.dedup import repeated_passages
+
+    rows = [(1, "one two three"), (2, "one two three")]
+    out = repeated_passages(_passage_corpus(spark, rows), window_words=5).collect()
+    assert out == []
+
+
+def test_repeated_passages_gram_df_cap_drops_boilerplate(spark):
+    """A gram present in MANY docs (site chrome) is dropped by the df
+    cap — the same boilerplate guard the other dedup operators carry."""
+    from sketchlib.spark.dedup import repeated_passages
+
+    rows = [(i, " ".join(f"u{i}w{j}" for j in range(6)) + " " + PASSAGE)
+            for i in range(20)]
+    capped = repeated_passages(
+        _passage_corpus(spark, rows), window_words=5, max_gram_df=10
+    ).collect()
+    assert capped == []  # every passage gram has df=20 > 10
+    uncapped = repeated_passages(
+        _passage_corpus(spark, rows), window_words=5, max_gram_df=None
+    ).collect()
+    assert len(uncapped) == 20  # one span per doc without the cap
+
+
+def test_repeated_passages_two_separate_runs_per_doc(spark):
+    """Two disjoint shared passages in one doc must come back as TWO
+    spans, not merge across the unique gap."""
+    from sketchlib.spark.dedup import repeated_passages
+
+    p2 = " ".join(f"q{j}" for j in range(9))
+    rows = [
+        (1, PASSAGE + " g1x g2x g3x g4x g5x " + p2),
+        (2, PASSAGE + " h1y h2y h3y h4y h5y h6y " + p2),
+    ]
+    out = sorted(
+        (r.doc_id, r.start_word, r.end_word)
+        for r in repeated_passages(
+            _passage_corpus(spark, rows), window_words=5
+        ).collect()
+    )
+    # doc 1: passage at 0..11, p2 at 17..25; doc 2: p2 at 18..26
+    assert out == [(1, 0, 11), (1, 17, 25), (2, 0, 11), (2, 18, 26)]
+
+
 # ------------------------------------------------- stdlib PNG real codec
 
 

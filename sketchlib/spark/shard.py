@@ -63,9 +63,17 @@ def _identity_route_keys(spark, n: int) -> list[int]:
     found: dict[int, int] = {}
     start, step = 0, max(64 * n, 1024)
     while len(found) < n:
+        # engine-side reduction: min(id) per residue, so the driver
+        # collects AT MOST n rows per round instead of the whole 64·n
+        # probe window (at 10^5 shards that was ~6.4M longs pulled to
+        # the driver once per session). min-of-window == the
+        # first-encountered id of the old scan, so the discovered keys
+        # are unchanged.
         rows = (
             spark.range(start, start + step)
-            .select(F.col("id"), F.pmod(F.hash("id"), F.lit(n)).alias("p"))
+            .select(F.pmod(F.hash("id"), F.lit(n)).alias("p"), F.col("id"))
+            .groupBy("p")
+            .agg(F.min("id").alias("id"))
             .collect()
         )
         for r in rows:

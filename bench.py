@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -127,7 +128,10 @@ def build_throughput(spark, docs_path: str, partitions: int, trials: int = 3) ->
         fixed, shard_rows = build_web_pipeline(docs, n, num_shards=num_shards)
         times.append(time.perf_counter() - t0)
     best = min(times)
-    median = sorted(times)[len(times) // 2]
+    # true median (even trial counts average the middle two — taking
+    # sorted[n//2] would record the WORST of 2 trials under the name
+    # "median" in the trials=2 --scaling/--local-cluster legs)
+    median = statistics.median(times)
 
     # accuracy gates on the build outputs (BASELINE.md targets)
     from sketchlib.spark.shard import ShardedProbeIndex, probe_sharded

@@ -732,6 +732,7 @@ def repeated_passages(
     window_words: int = 20,
     min_docs: int = 2,
     max_gram_df: int | None = 100_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Exact-substring dedup: spans of ≥ ``window_words`` consecutive
     words that appear in ≥ ``min_docs`` DISTINCT documents — the
@@ -779,9 +780,14 @@ def repeated_passages(
                 out.append(hashes[bounds[i] : bounds[i + 1]].astype(np.int64))
         return pd.Series(out)
 
+    # persist the gram frame ONCE: the df stats (distinct-doc counts)
+    # and the semi-joined hits are two independent consumers whose
+    # exchanges differ, so ReuseExchange can't dedupe them — without
+    # the persist the tokenize+hash UDF (the dominant cost) runs over
+    # the whole corpus twice. Rows are ~24 B (hash, id, pos).
     grams = df.select(
         id_col, F.posexplode(passage_grams(F.col(text_col))).alias("pos", "g")
-    )
+    ).persist()
     stats = grams.groupBy("g").agg(
         F.countDistinct(id_col).alias("n_docs"), F.count("*").alias("gram_df")
     )
@@ -795,7 +801,7 @@ def repeated_passages(
     w = Window.partitionBy(id_col).orderBy("pos")
     # consecutive positions share (pos - row_number): one group per run
     runs = hits.withColumn("_grp", F.col("pos") - F.row_number().over(w))
-    return (
+    spans = (
         runs.groupBy(id_col, "_grp")
         .agg(
             F.min("pos").cast("long").alias("start_word"),
@@ -804,3 +810,10 @@ def repeated_passages(
         )
         .drop("_grp")
     )
+    # materialize the (sparse) span result so the gram cache is released
+    # now instead of leaking for the session's lifetime — the same
+    # persist→materialize→unpersist shape as minhash_dedup_pairs
+    try:
+        return materialize(spans, checkpoint_dir)
+    finally:
+        grams.unpersist()

@@ -65,10 +65,11 @@ def partition_sizes(df) -> list[int]:
     distribution, which is the right view for skew diagnosis.
 
     Isolation: the override is applied in a CLONED session
-    (``spark.newSession()`` shares the SparkContext but owns its
-    SQLConf; the frame is re-bound to the clone from its analyzed
-    plan), so queries planned concurrently in the caller's session
-    never see the flipped conf. If the plan transfer is unavailable,
+    (JVM ``cloneSession()`` shares the SparkContext and copies the
+    caller's runtime SQLConf, so planning confs like
+    ``spark.sql.shuffle.partitions`` resolve identically; the frame is
+    re-bound to the clone from its analyzed plan), so queries planned
+    concurrently in the caller's session never see the flipped conf. If the plan transfer is unavailable,
     falls back to a save/restore flip of the caller's session conf —
     only then is the diagnostic unsafe to run concurrently with
     latency-sensitive queries."""
@@ -79,14 +80,19 @@ def partition_sizes(df) -> list[int]:
         lambda it: [sum(1 for _ in it)]
     ).collect()
     try:
-        from pyspark.sql import DataFrame
+        from pyspark.sql import DataFrame, SparkSession
 
-        clone = spark.newSession()
-        clone.conf.set(key, "false")
+        # cloneSession (JVM) COPIES the caller's runtime SQLConf —
+        # newSession would start from the context defaults, so a
+        # caller-set spark.sql.shuffle.partitions (or any planning
+        # conf) would resolve differently in the clone and the
+        # diagnostic would measure a partitioning the real frame
+        # never has
+        jclone = spark._jsparkSession.cloneSession()
+        jclone.conf().set(key, "false")
+        clone = SparkSession(spark.sparkContext, jclone)
         jplan = ones._jdf.queryExecution().analyzed()
-        jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
-            clone._jsparkSession, jplan
-        )
+        jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(jclone, jplan)
         return count_parts(DataFrame(jdf, clone))
     except Exception:
         pass  # non-classic backend (e.g. Connect): fall through

@@ -48,6 +48,10 @@ class IncrementalSketchBuilder:
         self.key_col = key_col
         self.state_path = state_path
         self._lineage = 0  # 0 = unknown (manual process_batch calls)
+        # how a LEGACY (ISB1/headerless, lineage 0) state file relates
+        # to the attached checkpoint — resolved by attach() from the
+        # checkpoint dir itself; True = same numbering (guard armed)
+        self._legacy_same_lineage = False
 
     @staticmethod
     def _lineage_hash(checkpoint_dir: str) -> int:
@@ -82,13 +86,20 @@ class IncrementalSketchBuilder:
 
     def process_batch(self, batch_df, batch_id: int) -> None:
         last, stored_lineage, blob = self._read_raw()
-        # stored_lineage == 0 (legacy ISB1/headerless state) under a
-        # KNOWN new lineage counts as CHANGED: a legacy file re-attached
-        # to a fresh checkpoint must fold the new query's restarted
-        # batch ids, not skip them against the old file's numbering.
-        # The first fold stamps the new lineage, so replays of the same
-        # batch under this run are still no-ops.
-        same_lineage = self._lineage == 0 or stored_lineage == self._lineage
+        # legacy files (stored_lineage == 0, ISB1/headerless) carry no
+        # lineage, so a raw hash compare can't tell "re-attached to the
+        # ORIGINAL checkpoint" (ids continue — guard must stay armed or
+        # a replayed batch double-folds) from "re-pointed at a FRESH
+        # checkpoint" (ids restart at 0 — guard must yield or the first
+        # last+1 batches are silently discarded). attach() resolves the
+        # ambiguity from the checkpoint dir itself (_legacy_same_lineage:
+        # prior commits ⇒ original numbering); the first fold stamps the
+        # real lineage either way, so this branch runs at most once.
+        same_lineage = (
+            self._lineage == 0
+            or stored_lineage == self._lineage
+            or (stored_lineage == 0 and self._legacy_same_lineage)
+        )
         if same_lineage and batch_id <= last:
             return  # replayed micro-batch: already folded into state
         state = loads(blob) if blob is not None else self.factory()
@@ -108,10 +119,36 @@ class IncrementalSketchBuilder:
             )
         os.replace(tmp, self.state_path)  # atomic per-batch checkpoint
 
+    @staticmethod
+    def _checkpoint_has_commits(checkpoint_dir: str) -> bool:
+        """True iff the streaming checkpoint has committed batches —
+        i.e. batch numbering will CONTINUE rather than restart at 0.
+        Local paths only (this class's state_path is driver-local by
+        design); URI checkpoints can't be inspected here and return
+        False, the conservative side for a FRESH dir (a legacy state
+        file re-attached to a URI checkpoint should be migrated first —
+        one process_batch + re-save stamps it)."""
+        base = checkpoint_dir
+        if base.startswith("file:"):
+            base = base[len("file:") :] or "/"
+        elif "://" in base:
+            return False
+        commits = os.path.join(base, "commits")
+        try:
+            return any(not e.startswith(".") for e in os.listdir(commits))
+        except OSError:
+            return False
+
     def attach(self, stream_df, checkpoint_dir: str, trigger_once: bool = True):
         # stamp the lineage so the replay guard is scoped to THIS
         # checkpoint's batch numbering (see class docstring)
         self._lineage = self._lineage_hash(checkpoint_dir)
+        # resolve the legacy-file ambiguity ONCE per attach: if this
+        # checkpoint already committed batches, an unstamped (legacy)
+        # state file's numbering belongs to it — keep the replay guard
+        # armed so the in-place upgrade path can't double-fold a
+        # replayed batch. A fresh checkpoint restarts at 0 → changed.
+        self._legacy_same_lineage = self._checkpoint_has_commits(checkpoint_dir)
         writer = (
             stream_df.writeStream.outputMode("update")
             .foreachBatch(self.process_batch)

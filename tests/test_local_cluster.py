@@ -174,9 +174,12 @@ def test_checkpoint_kill_resume_under_local_cluster(docs_parquet, tmp_path):
     finished = os.path.exists(out_killed)
     published = sorted(glob.glob(os.path.join(ckpt, "shard-*.arrow")))
     assert published, "no shard checkpoint files appeared before the deadline"
-    if not finished:
-        # the interesting case: a genuinely partial build
-        assert len(published) < 8, "kill landed after every shard published"
+    # NOTE: finished=False with all 8 shards published is NOT a failure
+    # — publishes arrive in parallel waves, so the kill can land in the
+    # window between the last publish and the result-JSON write. The
+    # resume half below still verifies the taskfs contract (every
+    # published shard re-emitted byte-identically); only the
+    # "partial build" flavor of the scenario degrades.
 
     # snapshot the pre-kill-published shard states
     import pyarrow.ipc as ipc

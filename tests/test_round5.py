@@ -469,3 +469,112 @@ def test_partition_sizes_reports_empty_partitions(spark):
     sizes = partition_sizes(df)
     assert len(sizes) == 8
     assert sorted(sizes)[-1] == 1000 and sum(sizes) == 1000
+
+
+def test_partition_sizes_inherits_runtime_conf(spark):
+    """The cloned diagnostic session must COPY the caller's runtime
+    SQLConf: repartition(col) with no explicit count resolves
+    spark.sql.shuffle.partitions at physical planning, which happens in
+    the clone — a clone built from context defaults would report 200
+    partitions for a frame the caller planned at 7."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.salt import partition_sizes
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "7")
+        df = spark.range(500).select(
+            (F.col("id") % 50).cast("string").alias("k")
+        ).repartition("k")
+        sizes = partition_sizes(df)
+        assert len(sizes) == 7, sizes
+        assert sum(sizes) == 500
+    finally:
+        spark.conf.set(key, prev)
+
+
+# ------------------------------ legacy lineage resolved from the checkpoint
+
+
+def _legacy_state_file(tmp_path, n_old=200, last=57):
+    from sketchlib.sketches import HyperLogLog
+    from sketchlib.streaming.incremental import IncrementalSketchBuilder
+
+    state = str(tmp_path / "legacy.bin")
+    old = HyperLogLog(12)
+    old.update([f"old{i}" for i in range(n_old)])
+    with open(state, "wb") as fh:
+        fh.write(
+            IncrementalSketchBuilder._MAGIC
+            + last.to_bytes(8, "little", signed=True)
+            + old.to_bytes()
+        )
+    return state
+
+
+def test_legacy_state_original_checkpoint_keeps_replay_guard(spark, tmp_path):
+    """A legacy (ISB1) state file re-attached to its ORIGINAL checkpoint
+    (the in-place upgrade path — the dir has committed batches, so batch
+    numbering CONTINUES) must keep the replay guard armed: a replayed
+    batch id <= last must NOT double-fold."""
+    from sketchlib.sketches import HyperLogLog
+    from sketchlib.streaming.incremental import IncrementalSketchBuilder
+
+    state = _legacy_state_file(tmp_path)
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "commits").mkdir(parents=True)
+    (ckpt / "commits" / "57").write_text("v1")
+
+    b = IncrementalSketchBuilder(lambda: HyperLogLog(12), "key", state)
+    # the attach-time resolution, without starting a real stream
+    b._lineage = b._lineage_hash(str(ckpt))
+    b._legacy_same_lineage = b._checkpoint_has_commits(str(ckpt))
+    assert b._legacy_same_lineage is True
+
+    before = b.current().estimate()
+    df = spark.createDataFrame([(f"replay{i}",) for i in range(200)], "key string")
+    b.process_batch(df, 57)  # replayed batch: already folded pre-upgrade
+    assert b.current().estimate() == before  # no double-fold
+    b.process_batch(df, 58)  # genuinely new batch folds and stamps ISB2
+    assert b.current().estimate() > before
+    assert b.last_batch_id() == 58
+
+
+def test_legacy_state_fresh_checkpoint_counts_as_changed(spark, tmp_path):
+    """The same legacy file pointed at a FRESH checkpoint (no commits:
+    batch ids restart at 0) must fold batch 0 instead of skipping it
+    against the old numbering (ADVICE r4 — unchanged by the
+    original-checkpoint fix)."""
+    from sketchlib.sketches import HyperLogLog
+    from sketchlib.streaming.incremental import IncrementalSketchBuilder
+
+    state = _legacy_state_file(tmp_path)
+    fresh = str(tmp_path / "fresh-ckpt")  # does not exist yet
+
+    b = IncrementalSketchBuilder(lambda: HyperLogLog(12), "key", state)
+    b._lineage = b._lineage_hash(fresh)
+    b._legacy_same_lineage = b._checkpoint_has_commits(fresh)
+    assert b._legacy_same_lineage is False
+
+    df = spark.createDataFrame([(f"new{i}",) for i in range(200)], "key string")
+    b.process_batch(df, 0)  # 0 < legacy 57: MUST fold
+    assert b.current().estimate() > 300  # legacy + fresh both present
+    assert b.last_batch_id() == 0
+
+
+def test_checkpoint_has_commits_variants(tmp_path):
+    from sketchlib.streaming.incremental import IncrementalSketchBuilder
+
+    has = IncrementalSketchBuilder._checkpoint_has_commits
+    ckpt = tmp_path / "c"
+    (ckpt / "commits").mkdir(parents=True)
+    assert has(str(ckpt)) is False  # empty commits dir: nothing committed
+    (ckpt / "commits" / "0").write_text("v1")
+    assert has(str(ckpt)) is True
+    assert has(f"file:{ckpt}") is True  # file: URI maps to the local path
+    (ckpt / "commits" / ".0.crc").write_text("x")  # sidecars don't count
+    assert has(str(tmp_path / "missing")) is False
+    # non-local URIs can't be inspected driver-side: conservative False
+    assert has("hdfs://nn/ckpt") is False

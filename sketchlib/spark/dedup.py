@@ -59,7 +59,9 @@ def dedup_exact_hash(
 _POLY = np.uint64(1099511628211)  # FNV prime: k-word window mixer
 
 
-def _shingle_hash_batch(texts: pd.Series, k: int = 5) -> tuple[np.ndarray, list[int]]:
+def _shingle_hash_batch(
+    texts: pd.Series, k: int = 5
+) -> tuple[np.ndarray, list[int], np.ndarray]:
     """uint64 shingle hashes for a whole Arrow batch with NO per-shingle
     string assembly: each WORD is hashed once (one kernel call over the
     batch's words — ~k× fewer hashed bytes than hashing joined shingle
@@ -67,9 +69,11 @@ def _shingle_hash_batch(texts: pd.Series, k: int = 5) -> tuple[np.ndarray, list[
     polynomial roll. Shingle equality ≡ word-tuple equality, the same
     (modulo hashing) as the joined-string formulation it replaces.
 
-    Returns (hashes, bounds): doc i's shingles are hashes[bounds[i]:
-    bounds[i+1]]. Docs with < k words hash their full text as the
-    single fallback shingle."""
+    Returns (hashes, bounds, word_counts): doc i's shingles are
+    hashes[bounds[i]:bounds[i+1]]; word_counts[i] is its whitespace
+    token count (already computed for the windowing — callers that need
+    it must not re-split multi-KB texts). Docs with < k words hash
+    their full text as the single fallback shingle."""
     split = [(t or "").split() for t in texts]
     W = np.fromiter((len(s) for s in split), np.intp, len(split))
     counts = np.where(W >= k, W - k + 1, 1).astype(np.intp)
@@ -96,12 +100,12 @@ def _shingle_hash_batch(texts: pd.Series, k: int = 5) -> tuple[np.ndarray, list[
     if len(short_ix):
         sh = kernels.hash64_batch([texts.iloc[int(i)] or "" for i in short_ix], "xx")
         out[bounds[:-1][short_ix]] = sh
-    return out, bounds.tolist()
+    return out, bounds.tolist(), W
 
 
 def _shingle_hashes(texts: pd.Series, k: int = 5) -> list[np.ndarray]:
     """Per-doc view of _shingle_hash_batch (compat surface)."""
-    hashes, bounds = _shingle_hash_batch(texts, k)
+    hashes, bounds, _ = _shingle_hash_batch(texts, k)
     return [hashes[bounds[i] : bounds[i + 1]] for i in range(len(texts))]
 
 
@@ -155,7 +159,7 @@ def minhash_signatures(
     def sig(texts: pd.Series) -> pd.Series:
         if len(texts) == 0:
             return pd.Series([], dtype=object)
-        hashes, bounds = _shingle_hash_batch(texts, shingle_k)
+        hashes, bounds, _ = _shingle_hash_batch(texts, shingle_k)
         sigs = _minhash_sigs_batch(hashes, bounds, a, b).astype(np.int64)
         return pd.Series(list(sigs))
 
@@ -203,7 +207,7 @@ def _minhash_sigs_and_bands(
     def sig_bands(texts: pd.Series) -> pd.DataFrame:
         if len(texts) == 0:
             return pd.DataFrame({"minhash": [], "bands": []})
-        hashes, bounds = _shingle_hash_batch(texts, shingle_k)
+        hashes, bounds, _ = _shingle_hash_batch(texts, shingle_k)
         sigs = _minhash_sigs_batch(hashes, bounds, a, b)
         keys = _band_keys_from_sigs(sigs, bands, rows_per_band)
         return pd.DataFrame(
@@ -771,10 +775,12 @@ def repeated_passages(
     def passage_grams(texts: pd.Series) -> pd.Series:
         if len(texts) == 0:
             return pd.Series([], dtype=object)
-        hashes, bounds = _shingle_hash_batch(texts, window_words)
+        hashes, bounds, word_counts = _shingle_hash_batch(texts, window_words)
         out = []
-        for i, t in enumerate(texts):
-            if len((t or "").split()) < window_words:
+        # word_counts comes from the kernel's own split — re-splitting
+        # multi-KB texts here would double the UDF's tokenization cost
+        for i in range(len(texts)):
+            if word_counts[i] < window_words:
                 out.append(np.empty(0, np.int64))
             else:
                 out.append(hashes[bounds[i] : bounds[i + 1]].astype(np.int64))

@@ -120,22 +120,42 @@ class IncrementalSketchBuilder:
         os.replace(tmp, self.state_path)  # atomic per-batch checkpoint
 
     @staticmethod
-    def _checkpoint_has_commits(checkpoint_dir: str) -> bool:
-        """True iff the streaming checkpoint has committed batches —
-        i.e. batch numbering will CONTINUE rather than restart at 0.
-        Local paths only (this class's state_path is driver-local by
-        design); URI checkpoints can't be inspected here and return
-        False, the conservative side for a FRESH dir (a legacy state
-        file re-attached to a URI checkpoint should be migrated first —
-        one process_batch + re-save stamps it)."""
+    def _checkpoint_has_batches(checkpoint_dir: str, spark=None) -> bool:
+        """True iff the streaming checkpoint has ever ASSIGNED a batch
+        id — i.e. batch numbering will CONTINUE rather than restart at
+        0. The signal is the ``offsets`` dir, not ``commits``: Spark
+        writes ``offsets/N`` BEFORE processing batch N and ``commits/N``
+        after, so a checkpoint that crashed mid-first-batch (state
+        written, commit not) still shows its numbering here — checking
+        commits would disarm the replay guard in exactly the
+        at-least-once crash window it exists for. URI checkpoints are
+        inspected through the session's Hadoop FS when a session is
+        available; without one they return False (fresh-dir side)."""
         base = checkpoint_dir
         if base.startswith("file:"):
             base = base[len("file:") :] or "/"
         elif "://" in base:
+            if spark is None:
+                return False
+            try:
+                from ..spark.fsio import _fs_path
+
+                fs, _ = _fs_path(spark, checkpoint_dir)
+                jvm = spark.sparkContext._jvm
+                off = jvm.org.apache.hadoop.fs.Path(
+                    checkpoint_dir.rstrip("/") + "/offsets"
+                )
+                if not fs.exists(off):
+                    return False
+                for st in fs.listStatus(off):
+                    if not st.getPath().getName().startswith("."):
+                        return True
+            except Exception:
+                return False
             return False
-        commits = os.path.join(base, "commits")
+        offsets = os.path.join(base, "offsets")
         try:
-            return any(not e.startswith(".") for e in os.listdir(commits))
+            return any(not e.startswith(".") for e in os.listdir(offsets))
         except OSError:
             return False
 
@@ -144,11 +164,13 @@ class IncrementalSketchBuilder:
         # checkpoint's batch numbering (see class docstring)
         self._lineage = self._lineage_hash(checkpoint_dir)
         # resolve the legacy-file ambiguity ONCE per attach: if this
-        # checkpoint already committed batches, an unstamped (legacy)
+        # checkpoint ever assigned batch ids, an unstamped (legacy)
         # state file's numbering belongs to it — keep the replay guard
         # armed so the in-place upgrade path can't double-fold a
         # replayed batch. A fresh checkpoint restarts at 0 → changed.
-        self._legacy_same_lineage = self._checkpoint_has_commits(checkpoint_dir)
+        self._legacy_same_lineage = self._checkpoint_has_batches(
+            checkpoint_dir, getattr(stream_df, "sparkSession", None)
+        )
         writer = (
             stream_df.writeStream.outputMode("update")
             .foreachBatch(self.process_batch)

@@ -209,7 +209,7 @@ def test_shingle_hash_batch_set_semantics(docs, k):
     from sketchlib.spark.dedup import _shingle_hash_batch
 
     texts = pd.Series([" ".join(ws) for ws in docs])
-    hashes, bounds = _shingle_hash_batch(texts, k)
+    hashes, bounds, _ = _shingle_hash_batch(texts, k)
 
     def string_shingles(t):
         ws = t.split()

@@ -43,23 +43,27 @@ def test_spacesaving_superset_bound_keys_above_floor_survive():
     batches = []
     # heavy key: 3 per batch, always below the per-batch filler count,
     # so the OLD prune (no floor seeding) evicted it every round and it
-    # finished with count 3 — out-ranked by any surviving filler.
+    # finished with count 3 — out-ranked by any surviving filler. Only
+    # 8 fillers per batch: the floor ratchets ~4 per PRUNE (not per
+    # batch), so after 40 batches it stays well below HEAVY's true 120
+    # and the guarantee clause below is genuinely exercised.
     for b in range(40):
-        vals = [f"f{b}-{i}" for i in range(40)] + ["HEAVY"]
-        cnts = [4] * 40 + [3]
+        vals = [f"f{b}-{i}" for i in range(8)] + ["HEAVY"]
+        cnts = [4] * 8 + [3]
         batches.append((vals, cnts))
     counts, floor = _ss_run(batches, prune_at=32, prune_keep=8)
     true_heavy = 3 * 40
+    # the scenario must be discriminating, or the assertions below are
+    # vacuous (review r5: the old 40-filler version drove the floor past
+    # true_heavy and the guarantee clause never fired)
+    assert true_heavy > floor, (true_heavy, floor)
     for k, v in counts.items():
         if k != "HEAVY":
             assert v <= floor + 4  # fillers never accumulate past one batch
-    # the floor-seeded count of HEAVY tracks the floor up, so whenever
-    # its true count clears the floor it must be present
-    if true_heavy > floor:
-        assert "HEAVY" in counts
-    # and regardless of the floor, the invariant holds for survivors
-    if "HEAVY" in counts:
-        assert counts["HEAVY"] >= true_heavy or counts["HEAVY"] >= floor
+    # the restored superset bound: a key whose true count clears the
+    # final floor MUST be in the final dict, with count >= true count
+    assert "HEAVY" in counts
+    assert counts["HEAVY"] >= true_heavy
 
 
 def test_spacesaving_old_prune_would_lose_reappearing_key():
@@ -516,21 +520,24 @@ def _legacy_state_file(tmp_path, n_old=200, last=57):
 
 def test_legacy_state_original_checkpoint_keeps_replay_guard(spark, tmp_path):
     """A legacy (ISB1) state file re-attached to its ORIGINAL checkpoint
-    (the in-place upgrade path — the dir has committed batches, so batch
+    (the in-place upgrade path — the dir has assigned batch ids, so
     numbering CONTINUES) must keep the replay guard armed: a replayed
-    batch id <= last must NOT double-fold."""
+    batch id <= last must NOT double-fold. The signal is the offsets
+    dir (written BEFORE a batch processes), so the guard stays armed
+    even when the pre-upgrade run crashed before its commit."""
     from sketchlib.sketches import HyperLogLog
     from sketchlib.streaming.incremental import IncrementalSketchBuilder
 
     state = _legacy_state_file(tmp_path)
     ckpt = tmp_path / "ckpt"
-    (ckpt / "commits").mkdir(parents=True)
-    (ckpt / "commits" / "57").write_text("v1")
+    (ckpt / "offsets").mkdir(parents=True)
+    (ckpt / "offsets" / "57").write_text("v1")
+    # NO commits entry: the crash-before-commit window
 
     b = IncrementalSketchBuilder(lambda: HyperLogLog(12), "key", state)
     # the attach-time resolution, without starting a real stream
     b._lineage = b._lineage_hash(str(ckpt))
-    b._legacy_same_lineage = b._checkpoint_has_commits(str(ckpt))
+    b._legacy_same_lineage = b._checkpoint_has_batches(str(ckpt))
     assert b._legacy_same_lineage is True
 
     before = b.current().estimate()
@@ -555,7 +562,7 @@ def test_legacy_state_fresh_checkpoint_counts_as_changed(spark, tmp_path):
 
     b = IncrementalSketchBuilder(lambda: HyperLogLog(12), "key", state)
     b._lineage = b._lineage_hash(fresh)
-    b._legacy_same_lineage = b._checkpoint_has_commits(fresh)
+    b._legacy_same_lineage = b._checkpoint_has_batches(fresh)
     assert b._legacy_same_lineage is False
 
     df = spark.createDataFrame([(f"new{i}",) for i in range(200)], "key string")
@@ -564,17 +571,32 @@ def test_legacy_state_fresh_checkpoint_counts_as_changed(spark, tmp_path):
     assert b.last_batch_id() == 0
 
 
-def test_checkpoint_has_commits_variants(tmp_path):
+def test_checkpoint_has_batches_variants(tmp_path):
     from sketchlib.streaming.incremental import IncrementalSketchBuilder
 
-    has = IncrementalSketchBuilder._checkpoint_has_commits
+    has = IncrementalSketchBuilder._checkpoint_has_batches
     ckpt = tmp_path / "c"
-    (ckpt / "commits").mkdir(parents=True)
-    assert has(str(ckpt)) is False  # empty commits dir: nothing committed
-    (ckpt / "commits" / "0").write_text("v1")
+    (ckpt / "offsets").mkdir(parents=True)
+    assert has(str(ckpt)) is False  # empty offsets dir: no batch assigned
+    (ckpt / "offsets" / "0").write_text("v1")
     assert has(str(ckpt)) is True
     assert has(f"file:{ckpt}") is True  # file: URI maps to the local path
-    (ckpt / "commits" / ".0.crc").write_text("x")  # sidecars don't count
+    (ckpt / "offsets" / ".0.crc").write_text("x")  # sidecars don't count
     assert has(str(tmp_path / "missing")) is False
-    # non-local URIs can't be inspected driver-side: conservative False
+    # non-local URI without a session can't be inspected: fresh side
     assert has("hdfs://nn/ckpt") is False
+
+
+def test_checkpoint_has_batches_uri_via_session(spark, tmp_path):
+    """URI checkpoints resolve through the session's Hadoop FS — a
+    file:// URI with offsets entries must read as numbering-continues."""
+    from sketchlib.streaming.incremental import IncrementalSketchBuilder
+
+    has = IncrementalSketchBuilder._checkpoint_has_batches
+    ckpt = tmp_path / "u"
+    (ckpt / "offsets").mkdir(parents=True)
+    uri = f"file://{ckpt}"
+    assert has(uri, spark) is False
+    (ckpt / "offsets" / "3").write_text("v1")
+    assert has(uri, spark) is True
+    assert has(f"file://{tmp_path}/nope", spark) is False

@@ -100,6 +100,44 @@ def local_cluster_report(docs_path: str) -> dict:
     return results
 
 
+def lc_scaling_report(docs_path: str, rounds: int = 2) -> dict:
+    """Executor-COUNT scaling, the literal north-rule shape: the same
+    flagship build at N=1 vs 4N=4 executors, each a separate JVM with
+    2 cores (``local-cluster[1,2,3072]`` vs ``local-cluster[4,2,3072]``)
+    — unlike --scaling's local[2]/local[8] thread pairs, every added
+    unit here brings its own JVM, Python-worker pool, broadcast copy,
+    and netty shuffle endpoint, exactly what adding an executor to a
+    real cluster does (minus the per-node DRAM, which a single box
+    can't grant). Same input, same 32-way partitioning, warm-up + 2
+    measured trials per leg inside build_throughput."""
+    out = {"rounds": [], "protocol": (
+        "flagship build at local-cluster[1,2,3072] (N executors) vs "
+        "local-cluster[4,2,3072] (4N executors), 2 cores each, same "
+        "cached corpus, same 32-way partitioning; per leg: untimed "
+        "warm-up + 2 measured trials; legs alternate within a round"
+    )}
+    for _ in range(rounds):
+        rnd = {}
+        for key, workers in (("lc_1x2", 1), ("lc_4x2", 4)):
+            spark = make_lc_session(workers, 2, 3072)
+            try:
+                rnd[key] = build_throughput(spark, docs_path, 32, trials=2)
+            finally:
+                spark.stop()
+        t1 = rnd["lc_1x2"]["build_sec_best"]
+        t4 = rnd["lc_4x2"]["build_sec_best"]
+        rnd["speedup_1_to_4_executors"] = round(t1 / t4, 3)
+        rnd["scaling_efficiency_N_to_4N_executors"] = round((t1 / t4) / 4.0, 3)
+        out["rounds"].append(rnd)
+    out["eff_median"] = round(
+        statistics.median(
+            r["scaling_efficiency_N_to_4N_executors"] for r in out["rounds"]
+        ),
+        3,
+    )
+    return out
+
+
 def build_throughput(spark, docs_path: str, partitions: int, trials: int = 3) -> dict:
     """Flagship two-job pipeline (webbuild.build_web_pipeline):
     zero-shuffle fixed-size sketches (HLL/CMS/KLL) over scan partitions
@@ -324,6 +362,10 @@ def main() -> None:
 
     if "--local-cluster" in sys.argv:
         print(json.dumps(local_cluster_report(docs_path), indent=2))
+        return
+
+    if "--lc-scaling" in sys.argv:
+        print(json.dumps(lc_scaling_report(docs_path), indent=2))
         return
 
     # Bracket the measured window: neighbor contention on this host can

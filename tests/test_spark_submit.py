@@ -182,3 +182,57 @@ def test_spark_submit_web_build_job(tmp_path):
     assert (tmp_path / "out" / "metrics.json").exists()
     kll = loads((tmp_path / "out" / "fixed" / "kll.bin").read_bytes())
     assert kll.n == n  # one page-size observation per doc
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not installed"
+)
+def test_spark_submit_py_files_two_cluster_sizes(tmp_path):
+    """The north rule's literal deployment sentence in one test:
+    ``spark-submit --py-files`` on a MULTI-EXECUTOR cluster at TWO
+    cluster sizes — N=1 and 4N=4 separate executor JVMs
+    (``local-cluster[1,2,1024]`` vs ``local-cluster[4,2,1024]``), the
+    library resolving only from the shipped zip on every executor.
+    Results must be identical at both sizes (sharding and probing are
+    content-hashed, never layout-dependent). Efficiency is NOT gated
+    here — a 2000-key job is fixed-cost dominated; the ≥0.8 gate runs
+    on the 4M-doc corpus (`bench.py --lc-scaling`, SCALING_r5.json)."""
+    import time
+
+    job = tmp_path / "job.py"
+    shutil.copy(os.path.join(REPO, "tools", "pyfiles_job.py"), job)
+    zip_path = _build_zip(tmp_path)
+    results = {}
+    for workers in (1, 4):
+        t0 = time.perf_counter()
+        out = subprocess.run(
+            [
+                SPARK_SUBMIT,
+                "--master", f"local-cluster[{workers},2,1024]",
+                "--conf", "spark.sql.shuffle.partitions=4",
+                "--conf", "spark.ui.enabled=false",
+                "--py-files", zip_path,
+                str(job),
+            ],
+            cwd=tmp_path,  # NOT the repo: the zip is the only source
+            env=_submit_env(),
+            capture_output=True,
+            text=True,
+            timeout=420,
+        )
+        wall = time.perf_counter() - t0
+        assert out.returncode == 0, out.stderr[-2000:]
+        line = next(
+            ln for ln in out.stdout.splitlines()
+            if ln.startswith("PYFILES_RESULT ")
+        )
+        results[workers] = json.loads(line.removeprefix("PYFILES_RESULT "))
+        results[workers]["_wall_sec"] = round(wall, 1)
+    r1, r4 = results[1], results[4]
+    # multi-executor really engaged: driver + N separate executor JVMs
+    assert r1["executors_plus_driver"] == 2
+    assert r4["executors_plus_driver"] == 5
+    assert r1["hits"] == 2000 and r4["hits"] == 2000  # no false negatives
+    # content-hashed sharding: the answer is executor-count invariant
+    assert r1["false_pos"] == r4["false_pos"]
+    assert r1["false_pos"] <= 5

@@ -30,7 +30,12 @@ def main() -> None:
         F.concat(F.lit("zz"), F.col("id")).alias("key")
     )
     fp = probe_sharded(absent, "key", shards, num_shards=4).where("member").count()
-    print("PYFILES_RESULT " + json.dumps({"hits": int(hits), "false_pos": int(fp)}))
+    # driver + one entry per executor JVM (local[n] -> 1): lets the
+    # two-cluster-size submit test prove multi-executor really engaged
+    n_jvms = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size()
+    print("PYFILES_RESULT " + json.dumps(
+        {"hits": int(hits), "false_pos": int(fp), "executors_plus_driver": int(n_jvms)}
+    ))
     spark.stop()
 
 

@@ -120,3 +120,28 @@ def test_repeated_passages_empty_and_whitespace_docs(spark):
     got = _spark_spans(spark, docs, 3, 2, None)
     # "x y z" appears in c (twice, pos 0 and 3) and d (pos 0)
     assert got == [("c", 0, 2, 1), ("c", 3, 5, 1), ("d", 0, 2, 1)]
+
+
+def test_repeated_passages_plan_no_self_join(spark, monkeypatch):
+    """Pin the scale shape structurally (SURVEY: 'NO self-join anywhere
+    — everything that shuffles is (8 B hash, id, pos)'): the executed
+    plan must contain no cartesian/nested-loop join and every Join
+    must be the one LeftSemi of gram rows against the kept gram keys.
+    materialize() is patched to identity because the production path
+    eagerly localCheckpoints (which would hide the join shape)."""
+    from sketchlib.spark import dedup
+
+    monkeypatch.setattr(dedup, "materialize", lambda df, _dir=None: df)
+    docs = spark.createDataFrame(
+        [(f"d{i}", "a b c d e f g h i j") for i in range(12)],
+        "doc_id string, text string",
+    )
+    out = dedup.repeated_passages(docs, window_words=3, min_docs=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE: final section first
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
+    joins = [ln for ln in final.splitlines() if "Join" in ln]
+    assert joins, final  # the semi-join is there...
+    for ln in joins:
+        assert "LeftSemi" in ln, ln  # ...and nothing else joins
